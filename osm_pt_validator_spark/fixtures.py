@@ -1,0 +1,299 @@
+"""Deterministic fixtures ported from the reference's Go test data.
+
+Sources (studied, not copied — these are data tables, re-keyed for
+Spark):
+  * the 10-way synthetic road network
+    (reference pkg/validation/testdata/way_{1..10}.json, network.md)
+  * way-order cases (pkg/validation/way_order_test.go:34-137)
+  * stop-order cases (pkg/validation/stop_order_test.go:10-130)
+  * member-order / tags / master / count cases
+    (route_relation_test.go, route_master_test.go, node_count_test.go)
+
+Coordinates are synthetic (FIXTURES.md §7): each node gets
+``lat = 55.90 + node_id*1e-4``, ``lon = -3.30 + node_id*1e-4`` inside
+the reference's Edinburgh search bbox, so the spatial layer has exact,
+independently computable expected outputs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osm_pt_validator_spark.schemas import (
+    NODE_SCHEMA,
+    PAGES_SCHEMA,
+    RELATION_SCHEMA,
+    WAY_SCHEMA,
+)
+
+# ---------------------------------------------------------------------------
+# the 10-way network (testdata/way_{1..10}.json)
+# ---------------------------------------------------------------------------
+
+NETWORK_WAYS: dict[int, tuple[list[int], dict[str, str]]] = {
+    1: ([100, 101], {}),
+    2: ([102, 101], {}),
+    3: ([102, 103, 105, 104], {}),
+    4: ([106, 107, 108, 104, 106], {"junction": "roundabout"}),  # circular
+    5: ([107, 109, 110], {}),
+    6: ([110, 111], {"oneway": "yes"}),
+    7: ([111, 110], {"oneway": "yes"}),
+    8: ([112, 110], {"oneway": "yes", "oneway:psv": "no"}),
+    9: ([100, 113, 101], {}),
+    10: ([114, 101], {"junction": "roundabout"}),
+}
+
+ALL_NODE_IDS = sorted({n for nodes, _ in NETWORK_WAYS.values() for n in nodes})
+
+
+def node_coords(node_id: int) -> tuple[float, float]:
+    return (55.90 + node_id * 1e-4, -3.30 + node_id * 1e-4)
+
+
+def stop_node_tags(node_id: int) -> dict[str, str]:
+    """Tags making a node a fully valid stop_position (nodes.go:78-100)."""
+    return {"public_transport": "stop_position", "bus": "yes", "name": f"Stop {node_id}"}
+
+
+def platform_node_tags(node_id: int) -> dict[str, str]:
+    """Tags making a node a fully valid platform (nodes.go:44-76),
+    including the NaPTAN code required when naptan_platform_tags=true."""
+    return {
+        "public_transport": "platform",
+        "highway": "bus_stop",
+        "name": f"Platform {node_id}",
+        "naptan:AtcoCode": f"636{node_id:06d}",
+    }
+
+
+def node_rows(extra: list[tuple[int, dict[str, str]]] | None = None) -> list[tuple]:
+    """nodes table rows: all network nodes as valid stops, plus extras
+    (node_id, tags) appended/overriding."""
+    tags_by_id: dict[int, dict[str, str]] = {n: stop_node_tags(n) for n in ALL_NODE_IDS}
+    for nid, tags in extra or []:
+        tags_by_id[nid] = tags
+    rows = []
+    for nid in sorted(tags_by_id):
+        lat, lon = node_coords(nid)
+        rows.append((nid, lat, lon, 1, tags_by_id[nid]))
+    return rows
+
+
+def way_rows() -> list[tuple]:
+    return [(wid, 1, nodes, tags) for wid, (nodes, tags) in sorted(NETWORK_WAYS.items())]
+
+
+def route_tags(**over: str) -> dict[str, str]:
+    """A fully tagged PTv2 bus route (validateRETags requirements)."""
+    tags = {
+        "type": "route",
+        "route": "bus",
+        "public_transport:version": "2",
+        "from": "Alpha",
+        "to": "Omega",
+        "name": "Bus X: Alpha => Omega",
+        "operator": "Example Buses",
+        "ref": "X",
+    }
+    tags.update(over)
+    return tags
+
+
+def member(m_type: str, ref: int, role: str = "") -> dict:
+    return {"type": m_type, "ref": ref, "role": role}
+
+
+def way_members(*way_ids: int) -> list[dict]:
+    """setupWays equivalent (way_order_test.go:160-166)."""
+    return [member("way", wid) for wid in way_ids]
+
+
+def relation_row(relation_id: int, members: list[dict], tags: dict[str, str]) -> tuple:
+    return (relation_id, 1, [(m["type"], m["ref"], m["role"]) for m in members], tags)
+
+
+# ---------------------------------------------------------------------------
+# way-order test cases (way_order_test.go:34-137) — (name, way_ids,
+# ignore_ways, expected [(url, message), ...])
+# ---------------------------------------------------------------------------
+
+_OW = "way with oneway tag is traversed in wrong direction"
+_ORD = "ways are incorrectly ordered"
+
+
+def _wurl(wid: int) -> str:
+    return f"https://www.openstreetmap.org/way/{wid}"
+
+
+def _nurl(nid: int) -> str:
+    return f"https://www.openstreetmap.org/node/{nid}"
+
+
+WAY_ORDER_CASES: list[tuple[str, list[int], list[int], list[tuple[str, str]]]] = [
+    ("valid route", [1, 2, 3], [], []),
+    ("invalid route", [1, 3, 2], [], [(_wurl(3), _ORD)]),
+    ("circular way in middle", [3, 4, 5], [], []),
+    ("valid route starting with circular way", [4, 5], [], []),
+    ("invalid route starting with circular way", [4, 1], [], [(_wurl(1), _ORD)]),
+    ("enter and leave circular way at same node", [3, 4, 3], [], []),
+    ("oneway traversed in correct direction", [5, 6], [], []),
+    ("oneway traversed in wrong direction", [5, 7], [], [(_wurl(7), _OW)]),
+    ("starts with oneway in correct direction", [8, 5], [], []),
+    ("starts with oneway in wrong direction", [6, 5], [], [(_wurl(6), _OW)]),
+    ("oneway:psv=no override", [5, 8], [], []),
+    ("same end nodes permutation 1", [9, 1, 2], [], []),
+    ("same end nodes permutation 2", [1, 9, 2], [], []),
+    ("roundabout wrong direction", [2, 10], [], [(_wurl(10), _OW)]),
+    ("roundabout correct direction", [10, 2], [], []),
+    ("ignore-list override", [5, 7], [7], []),
+]
+
+# ---------------------------------------------------------------------------
+# stop-order test cases (stop_order_test.go:10-130).
+# wayDirects given directly as (direction, nodes); directions are the
+# test's inputs ("backward" is intentionally an unknown direction string
+# — getNodesInOrder treats anything not forward/any as reversed).
+# ---------------------------------------------------------------------------
+
+_NOTON = "stop is not on route"
+_BADORD = "stop is incorrectly ordered"
+
+STOP_ORDER_CASES: list[
+    tuple[str, list[tuple[str, list[int]]], list[int], list[tuple[str, str]]]
+] = [
+    (
+        "stops in correct order",
+        [("forward", [101, 102, 103]), ("forward", [103, 104, 105])],
+        [102, 104],
+        [],
+    ),
+    (
+        "stops in incorrect order",
+        [("forward", [101, 102, 103]), ("forward", [103, 104, 105])],
+        [104, 102],
+        [(_nurl(102), _BADORD)],
+    ),
+    (
+        "multiple stops in incorrect order",
+        [
+            ("forward", [101, 102, 103]),
+            ("forward", [103, 104, 105]),
+            ("forward", [105, 106, 107]),
+        ],
+        [104, 102, 105, 103],
+        [(_nurl(102), _BADORD), (_nurl(103), _BADORD)],
+    ),
+    (
+        "multiple stops in correct order on same way",
+        [("forward", [101, 102, 103, 104, 105])],
+        [102, 104],
+        [],
+    ),
+    (
+        "multiple stops in correct order on reversed way",
+        [("backward", [101, 102, 103, 104, 105])],
+        [104, 102],
+        [],
+    ),
+    (
+        "stop not on route",
+        [("forward", [101, 102, 103, 104, 105])],
+        [102, 109],
+        [(_nurl(109), _NOTON)],
+    ),
+    (
+        "stop on repeated way",
+        [
+            ("forward", [100, 101, 102]),
+            ("forward", [102, 109, 103, 104]),
+            ("forward", [104, 105, 106, 104]),
+            ("reverse", [102, 109, 103, 104]),
+            ("forward", [102, 107, 108]),
+        ],
+        [101, 103, 109, 107],
+        [],
+    ),
+    (
+        "stop at start and end of loop",
+        [
+            ("forward", [101, 102, 103]),
+            ("forward", [103, 104, 105]),
+            ("forward", [106, 107, 101]),
+        ],
+        [101, 104, 101],
+        [],
+    ),
+]
+
+_STOP_ROLE_CYCLE = ("stop", "stop_entry_only", "stop_exit_only")
+
+
+def stop_members(*node_ids: int) -> list[dict]:
+    """makeRelation equivalent (stop_order_test.go:132-142): roles cycle
+    stop / stop_entry_only / stop_exit_only."""
+    return [
+        member("node", nid, _STOP_ROLE_CYCLE[i % 3]) for i, nid in enumerate(node_ids)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark DataFrame builders
+# ---------------------------------------------------------------------------
+
+
+def nodes_df(spark: SparkSession, extra=None) -> DataFrame:
+    return spark.createDataFrame(node_rows(extra), NODE_SCHEMA)
+
+
+def ways_df(spark: SparkSession, extra_rows: list[tuple] | None = None) -> DataFrame:
+    return spark.createDataFrame(way_rows() + (extra_rows or []), WAY_SCHEMA)
+
+
+def relations_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(rows, RELATION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# synthetic pages (graft input_hint shape) embedding mentions of the
+# fixture network, so G1/G2 extraction reproduces it deterministically
+# ---------------------------------------------------------------------------
+
+_EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def render_html(title: str, paragraphs: list[str]) -> bytes:
+    body = "".join(f"<p>{p}</p>" for p in paragraphs)
+    return (
+        f"<html><head><title>{title}</title></head><body>{body}</body></html>"
+    ).encode("utf-8")
+
+
+def page_text(paragraphs: list[str]) -> str:
+    """The canonical extracted text: paragraphs joined by newline. The
+    G1 extractor must reproduce this byte-identically from the html."""
+    return "\n".join(paragraphs)
+
+
+def pages_rows(relation_specs: list[tuple[int, list[int]]]) -> list[tuple]:
+    """One page per relation mentioning its stop nodes.
+
+    relation_specs: [(relation_id, [stop node ids in order])]
+    Mention grammar parsed by G2: ``STOP:<id>@<lat>,<lon>`` and
+    ``ROUTE:<id>``.
+    """
+    rows = []
+    for i, (rel_id, stop_ids) in enumerate(relation_specs):
+        paras = [f"Route ROUTE:{rel_id} serves {len(stop_ids)} stops."]
+        for nid in stop_ids:
+            lat, lon = node_coords(nid)
+            paras.append(f"Stop {nid} STOP:{nid}@{lat:.4f},{lon:.4f} on route {rel_id}.")
+        url = f"https://transit.example.org/route/{rel_id}"
+        ts = _EPOCH + _dt.timedelta(minutes=i)
+        rows.append((url, ts, render_html(f"Route {rel_id}", paras), page_text(paras), "en"))
+    return rows
+
+
+def pages_df(spark: SparkSession, relation_specs: list[tuple[int, list[int]]]) -> DataFrame:
+    return spark.createDataFrame(pages_rows(relation_specs), PAGES_SCHEMA)

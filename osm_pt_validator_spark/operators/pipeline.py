@@ -1,0 +1,192 @@
+"""Full route-relation validation pipeline — the reference's hard-coded
+stage order (pkg/validation/route_relation.go:10-48) as one declarative
+plan.
+
+Stage order and gating (all load-bearing for verdict parity):
+  0. PTv2 gate — non-PTv2 relations get exactly ONE verdict and skip
+     everything else (route_relation.go:18-21).
+  1. RE tag checks (route_relation.go:23-24).
+  2. member order (route_relation.go:26-27).
+  3. platform/stop node tag checks (route_relation.go:29-33); a node
+     that fails to load aborts stages 3-7 for that relation and emits
+     an engine error.
+  4/5. way order + oneway, 6. stop order (gated on zero way-order
+     verdicts), inside one Arrow-batched per-relation pass.
+  7. node-member count (route_relation.go:43-46).
+
+Scale notes: stages 0-2 and 7 are pure projections over the relations
+table (no shuffle). Stage 3 is one hash join against the nodes dim.
+Stages 4-6 are one shuffle on relation_id + one Arrow hop. Verdict
+order inside a relation is reconstructed by sorting on
+(stage_no, seq) — deterministic across any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.config import DEFAULT_CONFIG, ValidationConfig
+from osm_pt_validator_spark.functions.elements import is_ptv2
+from osm_pt_validator_spark.operators.member_order import validate_member_order
+from osm_pt_validator_spark.operators.node_checks import (
+    missing_node_errors,
+    validate_relation_nodes,
+)
+from osm_pt_validator_spark.operators.node_count import validate_node_count
+from osm_pt_validator_spark.operators.route_master import (
+    split_route_master_members,
+    validate_route_masters,
+)
+from osm_pt_validator_spark.operators.tags import validate_re_tags
+from osm_pt_validator_spark.operators.way_order import (
+    STAGE_ENGINE_ERROR,
+    validate_way_and_stop_order,
+)
+from osm_pt_validator_spark.schemas import STAGE_PTV2
+
+MSG_PTV2 = "tag 'public_transport:version' should have value '2'"
+
+
+def explode_members(relations: DataFrame) -> DataFrame:
+    """(relation_id, member_idx, type, ref, role) — posexplode keeps the
+    semantic member order as an explicit column."""
+    return relations.select(
+        "relation_id", F.posexplode("members").alias("member_idx", "m")
+    ).select(
+        "relation_id",
+        "member_idx",
+        F.col("m.type").alias("type"),
+        F.col("m.ref").alias("ref"),
+        F.col("m.role").alias("role"),
+    )
+
+
+def validate_route_relations(
+    relations: DataFrame,
+    nodes: DataFrame,
+    ways: DataFrame,
+    config: ValidationConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """Validate route relations; returns (verdicts, engine_errors).
+
+    verdicts: (relation_id, stage_no, seq, url, message) — sort by
+    (relation_id, stage_no, seq) to reproduce the reference's
+    within-relation emission order.
+    engine_errors: (relation_id, message) — the reference's Go-error
+    channel (load failures), distinct from verdicts.
+    """
+    # stage 0: PTv2 short-circuit
+    ptv2_ok = relations.filter(is_ptv2(F.col("tags")))
+    ptv2_fail = relations.filter(~is_ptv2(F.col("tags")))
+    v0 = ptv2_fail.select(
+        "relation_id",
+        F.lit(STAGE_PTV2).alias("stage_no"),
+        F.lit(0).cast("long").alias("seq"),
+        F.format_string(
+            "https://www.openstreetmap.org/relation/%d", F.col("relation_id")
+        ).alias("url"),
+        F.lit(MSG_PTV2).alias("message"),
+    )
+
+    v1 = validate_re_tags(ptv2_ok)
+    v2 = validate_member_order(ptv2_ok)
+
+    members = explode_members(ptv2_ok)
+
+    # stage 3 + abort set: relations with unresolvable node members
+    node_errors = missing_node_errors(members, nodes)
+    aborted = node_errors.select("relation_id").distinct()
+    live_members = members.join(aborted, "relation_id", "left_anti")
+    live_relations = ptv2_ok.join(aborted, "relation_id", "left_anti")
+
+    v3 = validate_relation_nodes(live_members, nodes, config.naptan_platform_tags)
+
+    # stages 4-6 (+ way-load engine errors on stage_no = -1)
+    v456 = validate_way_and_stop_order(
+        live_members, ways, config.ignore_traversal_direction_ways
+    )
+    way_errors = v456.filter(F.col("stage_no") == STAGE_ENGINE_ERROR).select(
+        "relation_id", "message"
+    )
+    v456 = v456.filter(F.col("stage_no") != STAGE_ENGINE_ERROR)
+
+    v7 = validate_node_count(live_relations, config.minimum_node_members)
+
+    verdicts = v0.unionByName(v1).unionByName(v2).unionByName(v3).unionByName(v456).unionByName(v7)
+    engine_errors = node_errors.unionByName(way_errors)
+    return verdicts, engine_errors
+
+
+def validate_all(
+    relations: DataFrame,
+    nodes: DataFrame,
+    ways: DataFrame,
+    config: ValidationConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """O1 type dispatch (scripts/validate/main.go:128-138) +
+    O2 route_master split (cmd/validate-rm/main.go:118-168).
+
+    route_master members are validated as route relations one level
+    deep; unknown relation types go to the engine-error channel
+    (reference: Go error "unknown relation type").
+    """
+    rel_type = F.col("tags").getItem("type")
+    routes = relations.filter(rel_type == "route")
+    masters = relations.filter(rel_type == "route_master")
+    unknown = relations.filter(rel_type.isNull() | ~rel_type.isin("route", "route_master"))
+
+    master_verdicts = validate_route_masters(masters, config.minimum_route_variants)
+
+    # split: master members become route work items; referenced
+    # relations join back against the relations table. A member id with
+    # no relation row mirrors the HTTP-410 path -> "relation no longer
+    # exists" verdict (cmd/validate-rm/main.go:59-63,77-96).
+    work = split_route_master_members(masters)
+    member_rels = work.join(relations, "relation_id", "left")
+    gone = member_rels.filter(F.col("members").isNull()).select(
+        "relation_id",
+        F.lit(0).alias("stage_no"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("").alias("url"),
+        F.lit("relation no longer exists").alias("message"),
+    )
+    member_routes = member_rels.filter(F.col("members").isNotNull()).select(
+        relations.columns
+    )
+    # a master member may also appear in the top-level work list; the
+    # reference would validate it twice (two SQS events) — dedup here.
+    all_routes = routes.unionByName(member_routes).dropDuplicates(["relation_id"])
+
+    route_verdicts, engine_errors = validate_route_relations(
+        all_routes, nodes, ways, config
+    )
+    unknown_errors = unknown.select(
+        "relation_id", F.lit("unknown relation type").alias("message")
+    )
+    verdicts = route_verdicts.unionByName(master_verdicts).unionByName(gone)
+    return verdicts, engine_errors.unionByName(unknown_errors)
+
+
+def collect_invalid(verdicts: DataFrame) -> DataFrame:
+    """Sink shape parity with InvalidRelationEvent
+    (pkg/snsEvents/types.go:5-10): verdicts grouped per relation, in
+    emission order."""
+    return (
+        verdicts.groupBy("relation_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("stage_no", "seq", "url", "message"))
+                ),
+                lambda v: F.struct(v["url"].alias("url"), v["message"].alias("message")),
+            ).alias("validation_errors"),
+            F.count(F.lit(1)).alias("error_count"),
+        )
+        .withColumn(
+            "relation_url",
+            F.format_string(
+                "https://www.openstreetmap.org/relation/%d", F.col("relation_id")
+            ),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` single-JVM; the conf below is chosen so
+the same code runs unchanged on a multi-executor cluster:
+
+  * AQE on — runtime coalescing of shuffle partitions + skew-join
+    splitting (our explicit salting in ``operators/skew.py`` handles the
+    pathological cell-skew AQE cannot see ahead of time).
+  * Arrow on — every Python boundary in this engine is Arrow-batched.
+  * ``spark.sql.shuffle.partitions`` scales with parallelism instead of
+    the static 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osm-pt-validator-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or 32.
+    On a real cluster this function is still usable: ``master`` is only
+    forced when no master is configured.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # one-ish shuffle partition per core locally; on a cluster this
+        # would be ~2-3x total cores — callers override.
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
+    else:  # pragma: no cover - cluster path
+        builder = builder.master(os.environ.get("SPARK_MASTER", "local[*]"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
