@@ -1,0 +1,103 @@
+"""Pages source + extraction operators (graft G1/G2).
+
+The `pages` table is the engine's 100 TB-scale fact input
+(url, warc_ts, html, text, lang — BASELINE input_hint). Two Arrow
+pandas operators derive everything else:
+
+  * G1 `extract_text_udf` — BINARY html -> STRING text. Deterministic
+    and **byte-identical per url** (the north-rule invariant): pandas
+    `.str` pipeline only, no per-row Python, no locale/time dependence.
+  * G2 `extract_mentions` — text -> exploded geocoded mention rows via
+    one `mapInPandas` (regex extractall, vectorized).
+
+Mention grammar (produced by our deterministic synthetic pages and any
+conformant upstream extractor):
+    STOP:<id>@<lat>,<lon>      a stop mention with coordinates
+    ROUTE:<id>                 a route mention
+
+Scale notes: both operators are per-row-independent map work — no
+shuffle, pipelined with the parquet/Iceberg scan; column pruning means
+the (huge) html column is only read when G1 actually runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+_P_RE = r"<p>(.*?)</p>"
+
+_MENTION_RE = (
+    r"(?P<kind>STOP|ROUTE):(?P<entity_id>\d+)"
+    r"(?:@(?P<lat>-?\d+\.\d+),(?P<lon>-?\d+\.\d+))?"
+)
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """G1: paragraph text extraction, byte-identical per url.
+
+    Contract: text = '\\n'.join of <p>…</p> bodies in document order.
+    The whole batch runs through pandas str ops (C loops), never
+    row-at-a-time Python.
+    """
+    s = html.str.decode("utf-8")
+    return s.str.findall(_P_RE).str.join("\n")
+
+
+def with_extracted_text(pages: DataFrame) -> DataFrame:
+    """pages + `extracted_text` column (must equal `text` byte-for-byte
+    for conformant inputs — tested invariant)."""
+    return pages.withColumn("extracted_text", extract_text_udf(F.col("html")))
+
+
+_MENTION_OUT_SCHEMA = (
+    "url string, mention_idx int, kind string, entity_id long, "
+    "lat double, lon double"
+)
+
+
+def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
+    """G2: one row per geocoded mention, in document order.
+
+    from_html=True re-extracts text via G1 first (pipeline purity);
+    default uses the stored text column (cheaper scan — html pruned).
+    """
+    src = with_extracted_text(pages).select(
+        "url", F.col("extracted_text").alias("text")
+    ) if from_html else pages.select("url", "text")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            text = pdf["text"].fillna("")
+            m = text.str.extractall(_MENTION_RE)
+            if len(m) == 0:
+                continue
+            m = m.reset_index()  # columns: level_0 (row), match, groups
+            m["url"] = pdf["url"].to_numpy()[m["level_0"].to_numpy()]
+            out = pd.DataFrame(
+                {
+                    "url": m["url"],
+                    "mention_idx": m["match"].astype("int32"),
+                    "kind": m["kind"].str.lower(),
+                    "entity_id": m["entity_id"].astype("int64"),
+                    "lat": pd.to_numeric(m["lat"], errors="coerce"),
+                    "lon": pd.to_numeric(m["lon"], errors="coerce"),
+                }
+            )
+            yield out
+
+    return src.mapInPandas(_extract, schema=_MENTION_OUT_SCHEMA)
+
+
+def read_pages(spark, path: str) -> DataFrame:
+    """Scan a pages table (parquet/Iceberg directory). Column pruning +
+    predicate pushdown come free from the declarative scan."""
+    return spark.read.parquet(path)

@@ -1,0 +1,112 @@
+"""Spatial joins — G4 (cell-prefix shuffle join with explicit hot-cell
+salting) and G5 (broadcast spatial join).
+
+Why explicit salting when AQE has skew handling: urban cells are
+Zipfian; the probe side (mentions from 10^12 pages) can put billions of
+rows in one cell. AQE's skew-join splitting only kicks in at shuffle
+materialization and not for all join types; salting the *key itself*
+spreads the build of the hash table too. We measure, not assume: hot
+keys come from a cheap sampled frequency estimate of the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from osm_pt_validator_spark.functions.geo import DEFAULT_RES, cell
+
+
+def with_cell(df: DataFrame, lat: str = "lat", lon: str = "lon", res: int = DEFAULT_RES,
+              out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell(F.col(lat), F.col(lon), res))
+
+
+def broadcast_cell_join(
+    probe: DataFrame, build: DataFrame, res: int = DEFAULT_RES,
+    probe_lat: str = "lat", probe_lon: str = "lon",
+    build_lat: str = "lat", build_lon: str = "lon",
+) -> DataFrame:
+    """G5: equi-join on cell with the small side broadcast — zero
+    shuffle on the probe side. Use when the build side (e.g. the stops
+    dim) fits in the broadcast threshold."""
+    p = with_cell(probe, probe_lat, probe_lon, res, "cell")
+    b = with_cell(build, build_lat, build_lon, res, "cell")
+    return p.join(broadcast(b.withColumnRenamed("cell", "b_cell")),
+                  p["cell"] == F.col("b_cell"), "inner").drop("b_cell")
+
+
+def hot_keys(
+    probe: DataFrame,
+    key: str,
+    threshold: int,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """Estimate keys whose probe-side frequency exceeds `threshold`
+    from a `sample_fraction` sample (seeded — deterministic). Returns a
+    single-column DF of hot key values, intended for broadcast."""
+    scaled = max(1.0, threshold * sample_fraction)
+    return (
+        probe.sample(fraction=sample_fraction, seed=42)
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") >= scaled)
+        .select(key)
+    )
+
+
+def salted_equi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_factor: int = 16,
+    hot: DataFrame | None = None,
+    hot_threshold: int = 1_000_000,
+    probe_salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe inner equi-join on `key`.
+
+    * hot keys (measured on the probe side unless given): probe rows get
+      ``salt = pmod(hash(<salt source>), salt_factor)``; build rows for
+      hot keys are replicated salt_factor times via explode(sequence).
+    * cold keys: salt = 0 on both sides (no replication).
+
+    The salt source defaults to a deterministic hash of all probe
+    columns; pass `probe_salt_col` (e.g. 'url') for a stable identity
+    column — required for reproducible lineage.
+    """
+    if hot is None:
+        hot = hot_keys(probe, key, hot_threshold)
+    hot_b = broadcast(hot.withColumn("__is_hot", F.lit(True)))
+
+    salt_src = (
+        F.col(probe_salt_col)
+        if probe_salt_col
+        else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in probe.columns])
+    )
+    p = (
+        probe.join(hot_b, key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__is_hot").isNotNull(),
+                F.pmod(F.xxhash64(salt_src), F.lit(salt_factor)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("__is_hot")
+    )
+    b = (
+        build.join(hot_b, key, "left")
+        .withColumn(
+            "__salts",
+            F.when(
+                F.col("__is_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<long>"),
+            ).otherwise(F.array(F.lit(0).cast("long"))),
+        )
+        .drop("__is_hot")
+        .withColumn("__salt", F.explode("__salts"))
+        .drop("__salts")
+    )
+    return p.join(b, [key, "__salt"], "inner").drop("__salt")

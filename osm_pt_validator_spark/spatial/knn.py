@@ -1,0 +1,77 @@
+"""G7: kNN stop matching — k-ring candidate generation + exact
+haversine re-rank.
+
+Plan shape: the probe side explodes its cell's k-ring (array algebra,
+no shuffle), equi-joins the build side on cell (one shuffle; broadcast
+when the build dim is small), computes exact haversine (JVM trig), and
+keeps the top-k per probe row via a ranking window partitioned by the
+probe key. Ties break on build id for determinism.
+
+Recall note: a k-ring of radius r at resolution `res` guarantees all
+neighbours within (r) cells; callers pick (res, ring) so the ring
+covers their distance budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from osm_pt_validator_spark.functions.geo import (
+    DEFAULT_RES,
+    cell,
+    haversine_m,
+    kring_cells,
+)
+
+
+def knn_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str | list[str],
+    build_key: str,
+    k: int = 1,
+    ring: int = 1,
+    res: int = DEFAULT_RES,
+    probe_lat: str = "lat",
+    probe_lon: str = "lon",
+    build_lat: str = "lat",
+    build_lon: str = "lon",
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """Top-k nearest build rows per probe row.
+
+    probe_key must uniquely identify a probe ROW (pass a list for
+    composite keys, e.g. ["url", "mention_idx"] for mentions —
+    partitioning the rank window by a non-unique key silently keeps
+    top-k per key group instead of per row).
+
+    Output: all probe columns + build_key + distance_m + knn_rank.
+    """
+    probe_keys = [probe_key] if isinstance(probe_key, str) else list(probe_key)
+    p = probe.withColumn(
+        "__ring", kring_cells(cell(F.col(probe_lat), F.col(probe_lon), res), ring, res)
+    ).withColumn("__cell", F.explode("__ring")).drop("__ring")
+
+    b = build.select(
+        F.col(build_key),
+        F.col(build_lat).alias("__blat"),
+        F.col(build_lon).alias("__blon"),
+        cell(F.col(build_lat), F.col(build_lon), res).alias("__cell"),
+    )
+    if broadcast_build:
+        b = broadcast(b)
+
+    joined = p.join(b, "__cell", "inner").withColumn(
+        "distance_m",
+        haversine_m(F.col(probe_lat), F.col(probe_lon), F.col("__blat"), F.col("__blon")),
+    )
+    w = Window.partitionBy(*probe_keys).orderBy(
+        F.col("distance_m").asc(), F.col(build_key).asc()
+    )
+    return (
+        joined.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("__cell", "__blat", "__blon")
+    )

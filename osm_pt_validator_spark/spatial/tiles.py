@@ -1,0 +1,30 @@
+"""G8: raster<->vector tile assignment + failure heatmap.
+
+Web-mercator (slippy) z/x/y tile math is pure column algebra
+(functions/geo.py tile_x/tile_y); the heatmap is a plain
+groupBy(z, x, y) count — partial aggregation (map-side combine) makes
+this scale linearly, and the output is tiny (bounded by 4^z).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.functions.geo import tile_x, tile_y
+
+
+def assign_tiles(df: DataFrame, z: int, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    return df.withColumn("tile_z", F.lit(z)).withColumn(
+        "tile_x", tile_x(F.col(lon), z)
+    ).withColumn("tile_y", tile_y(F.col(lat), z))
+
+
+def failure_heatmap(points: DataFrame, z: int, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Tile-bucketed counts — e.g. of validation failures located at
+    their stop coordinates."""
+    return (
+        assign_tiles(points, z, lat, lon)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

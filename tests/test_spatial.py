@@ -1,0 +1,215 @@
+"""Spatial layer vs independent Python oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.functions.geo import (
+    cell,
+    cell_parent,
+    haversine_m,
+    kring_cells,
+    make_morton_udf,
+    morton_parent,
+    tile_x,
+    tile_y,
+)
+from osm_pt_validator_spark.spatial.joins import (
+    broadcast_cell_join,
+    salted_equi_join,
+)
+from osm_pt_validator_spark.spatial.knn import knn_join
+from osm_pt_validator_spark.spatial.pip import points_in_polygons
+from osm_pt_validator_spark.spatial.tiles import failure_heatmap
+
+PTS = [
+    (1, 55.95, -3.19),  # Edinburgh
+    (2, 51.5074, -0.1278),  # London
+    (3, -33.8688, 151.2093),  # Sydney
+    (4, 90.0, 180.0),  # grid edge
+    (5, -90.0, -180.0),
+]
+
+
+def oracle_cell(lat, lon, res):
+    n = 1 << res
+    i = min(n - 1, max(0, math.floor((lat + 90) / 180 * n)))
+    j = min(n - 1, max(0, math.floor((lon + 180) / 360 * n)))
+    return (i << 32) | j
+
+
+def oracle_tile(lat, lon, z):
+    n = 1 << z
+    x = min(n - 1, max(0, math.floor((lon + 180) / 360 * n)))
+    lr = math.radians(lat)
+    y = min(
+        n - 1,
+        max(0, math.floor((1 - math.log(math.tan(lr) + 1 / math.cos(lr)) / math.pi) / 2 * n)),
+    )
+    return x, y
+
+
+def oracle_haversine(lat1, lon1, lat2, lon2):
+    r = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def pts_df(spark):
+    return spark.createDataFrame(PTS, "point_id long, lat double, lon double")
+
+
+def test_cell_vs_oracle(spark, pts_df):
+    rows = pts_df.withColumn("c", cell(F.col("lat"), F.col("lon"), 16)).collect()
+    for r in rows:
+        assert r.c == oracle_cell(r.lat, r.lon, 16), r.point_id
+
+
+def test_cell_parent_consistency(spark, pts_df):
+    rows = (
+        pts_df.withColumn("c16", cell(F.col("lat"), F.col("lon"), 16))
+        .withColumn("c12", cell(F.col("lat"), F.col("lon"), 12))
+        .withColumn("p", cell_parent(F.col("c16"), 4))
+        .collect()
+    )
+    for r in rows:
+        assert r.p == r.c12
+
+
+def test_kring_contains_self_and_clips(spark, pts_df):
+    rows = pts_df.withColumn("c", cell(F.col("lat"), F.col("lon"), 16)).withColumn(
+        "ring", kring_cells(F.col("c"), 1, 16)
+    ).collect()
+    for r in rows:
+        assert r.c in r.ring
+        # interior points get the full 9; edge points get clipped
+        assert len(r.ring) in (4, 6, 9)
+        assert len(set(r.ring)) == len(r.ring)
+
+
+def test_haversine_vs_oracle(spark):
+    df = spark.createDataFrame(
+        [(55.95, -3.19, 51.5074, -0.1278)], "a double, b double, c double, d double"
+    )
+    got = df.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).collect()[0].m
+    exp = oracle_haversine(55.95, -3.19, 51.5074, -0.1278)
+    assert abs(got - exp) < 1e-6
+    assert 530_000 < got < 545_000  # sanity: Edinburgh-London ~535 km
+
+
+def test_tiles_vs_oracle(spark, pts_df):
+    z = 12
+    rows = pts_df.filter(F.col("lat").between(-85, 85)).withColumn(
+        "x", tile_x(F.col("lon"), z)
+    ).withColumn("y", tile_y(F.col("lat"), z)).collect()
+    for r in rows:
+        x, y = oracle_tile(r.lat, r.lon, z)
+        assert (r.x, r.y) == (x, y), r.point_id
+
+
+def test_morton_parent_hierarchy(spark, pts_df):
+    m16 = make_morton_udf(16)
+    m12 = make_morton_udf(12)
+    rows = (
+        pts_df.withColumn("z16", m16(F.col("lat"), F.col("lon")))
+        .withColumn("z12", m12(F.col("lat"), F.col("lon")))
+        .withColumn("p", morton_parent(F.col("z16"), 4))
+        .collect()
+    )
+    for r in rows:
+        assert r.p == r.z12, r.point_id
+
+
+def _grid_points(spark, n=200):
+    rows = [
+        (i, 55.90 + (i % 20) * 1e-3, -3.30 + (i // 20) * 1e-3) for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "point_id long, lat double, lon double")
+
+
+def test_knn_vs_bruteforce(spark):
+    probe_rows, probe = _grid_points(spark, 60)
+    build_rows = [(100 + i, 55.90 + i * 1.7e-3, -3.30 + i * 1.3e-3) for i in range(12)]
+    build = spark.createDataFrame(build_rows, "stop_id long, lat double, lon double")
+
+    got = knn_join(
+        probe, build, probe_key="point_id", build_key="stop_id", k=2, ring=3, res=14
+    ).select("point_id", "stop_id", "knn_rank").collect()
+    got_map: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.point_id, r.knn_rank)):
+        got_map.setdefault(r.point_id, []).append(r.stop_id)
+
+    # brute force oracle (only checks points whose true 2NN are within
+    # the ring radius — ring=3 at res=14 covers ~2km here, all of them)
+    for pid, plat, plon in probe_rows:
+        dists = sorted(
+            (oracle_haversine(plat, plon, blat, blon), bid)
+            for bid, blat, blon in build_rows
+        )
+        expected = [bid for _, bid in dists[:2]]
+        assert got_map.get(pid, []) == expected, pid
+
+
+def test_pip_vs_oracle(spark):
+    # a concave polygon (arrow shape) around the fixture area
+    xs = [-3.300, -3.290, -3.290, -3.295, -3.290, -3.290, -3.300]
+    ys = [55.900, 55.900, 55.904, 55.905, 55.906, 55.910, 55.910]
+    polygons = spark.createDataFrame(
+        [(1, xs, ys)], "polygon_id long, xs array<double>, ys array<double>"
+    )
+    pts_rows, pts = _grid_points(spark, 200)
+
+    def oracle_pip(px, py):
+        inside = False
+        n = len(xs)
+        for a in range(n):
+            b = (a + 1) % n
+            x1, y1, x2, y2 = xs[a], ys[a], xs[b], ys[b]
+            if (y1 > py) != (y2 > py):
+                x_at = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+                if px < x_at:
+                    inside = not inside
+        return inside
+
+    got = {
+        r.point_id
+        for r in points_in_polygons(pts, polygons, res=12).collect()
+    }
+    expected = {pid for pid, lat, lon in pts_rows if oracle_pip(lon, lat)}
+    assert expected, "oracle found no inside points — bad test setup"
+    assert got == expected
+
+
+def test_broadcast_cell_join_and_heatmap(spark):
+    rows, probe = _grid_points(spark, 50)
+    build = spark.createDataFrame(
+        [(1, rows[0][1], rows[0][2])], "stop_id long, lat double, lon double"
+    )
+    j = broadcast_cell_join(probe, build, res=18)
+    assert j.count() >= 1
+    hm = failure_heatmap(probe, z=15).collect()
+    assert sum(r.n for r in hm) == 50
+
+
+def test_salted_join_matches_plain_join(spark):
+    rows, probe = _grid_points(spark, 200)
+    probe = probe.withColumn("k", (F.col("point_id") % 3).cast("long"))
+    build = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c"), (2, "d")], "k long, v string"
+    )
+    hot = spark.createDataFrame([(0,)], "k long")  # force key 0 hot
+    salted = salted_equi_join(
+        probe, build, "k", salt_factor=4, hot=hot, probe_salt_col="point_id"
+    )
+    plain = probe.join(build, "k")
+    a = sorted((r.point_id, r.v) for r in salted.collect())
+    b = sorted((r.point_id, r.v) for r in plain.collect())
+    assert a == b
