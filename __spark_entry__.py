@@ -1,38 +1,1183 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (pages -> extraction ->
+spatial join -> heatmap) on sf0.001. `queries()` exposes one callable
+per implemented operator (SURVEY.md §2 + graft G-operators);
+`oracle_sql()` gives the DuckDB-replayable ANSI SQL for every
+SQL-expressible one (identical column names & quantised numeric types
+so value hashes match bit-for-bit). Non-SQL-expressible operators
+(frontier automaton, PIP ray cast, SimHash/LSH UDF paths, media decode)
+are registered without oracles -> rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _prep(spark: SparkSession) -> None:
+    from osm_pt_validator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(c):
+    return F.round(c * 100).cast("long")
+
+
+# deterministic synthetic coordinates derived from key columns — the
+# same arithmetic is rendered in SQL for the oracle side.
+def _cust_lat(c):
+    return 55.9 + (c % 97) * 0.001
+
+
+def _cust_lon(c):
+    return -3.3 + ((c * 13) % 89) * 0.001
+
+
+def _supp_lat(s):
+    return 55.9 + ((s * 7) % 97) * 0.00097
+
+
+def _supp_lon(s):
+    return -3.3 + ((s * 11) % 89) * 0.00103
+
+
+_SQL_CUST_LAT = "55.9 + (c_custkey % 97) * 0.001"
+_SQL_CUST_LON = "-3.3 + ((c_custkey * 13) % 89) * 0.001"
+_SQL_SUPP_LAT = "55.9 + ((s_suppkey * 7) % 97) * 0.00097"
+_SQL_SUPP_LON = "-3.3 + ((s_suppkey * 11) % 89) * 0.00103"
+
+
+def _sql_cell(lat: str, lon: str, res: int) -> str:
+    n = 1 << res
+    i = f"GREATEST(0, LEAST({n - 1}, CAST(floor((({lat}) + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    j = f"GREATEST(0, LEAST({n - 1}, CAST(floor((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    return f"(({i} << 32) | {j})"
+
+
+def _sql_tile_x(lon: str, z: int) -> str:
+    n = 1 << z
+    return f"GREATEST(0, LEAST({n - 1}, CAST(floor((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT)))"
+
+
+def _sql_tile_y(lat: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"GREATEST(0, LEAST({n - 1}, CAST(floor((1.0 - ln(tan(radians({lat})) "
+        f"+ 1.0/cos(radians({lat})))/pi())/2.0 * {n}) AS BIGINT)))"
+    )
+
+
+def _sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2.0 * 6371000.0 * asin(sqrt(pow(sin(radians(({lat2})-({lat1}))/2.0),2) "
+        f"+ cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*pow(sin(radians(({lon2})-({lon1}))/2.0),2)))"
+    )
+
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower({t}), '[^a-z0-9'']+'), x -> len(x) > 0)"
+)
+
+
+# ---------------------------------------------------------------------------
+# validator fixture literals (shared by the Spark callables and the
+# rendered VALUES in the oracle SQL — single source of truth)
+# ---------------------------------------------------------------------------
+
+V_TAG_RELS: dict[int, dict[str, str]] = {
+    101: {
+        "from": "A", "to": "B", "name": "N", "operator": "O", "ref": "R",
+        "type": "route", "public_transport:version": "2",
+    },
+    102: {"to": "B", "name": "N", "ref": "R", "type": "route", "public_transport:version": "2"},
+    103: {
+        "from": "A", "to": "B", "name": "N", "operator": "O", "ref": "R",
+        "type": "multipolygon", "public_transport:version": "2",
+    },
+    104: {},
+}
+
+V_MEMBERS: list[tuple[int, int, str, int, str]] = [
+    (201, 0, "node", 1234, "stop"), (201, 1, "way", 34567, ""),
+    (202, 0, "way", 1, ""), (202, 1, "node", 2, "stop"), (202, 2, "way", 3, ""),
+    (203, 0, "node", 100, ""), (203, 1, "way", 1, ""),
+    (204, 0, "way", 1, ""),
+    (205, 0, "node", 100, "platform_exit_only"),
+    (206, 0, "node", 100, "stop_entry_only"), (206, 1, "way", 98712, "forward"),
+]
+
+V_COUNT_MEMBERS: list[tuple[int, int, str, int, str]] = [
+    (301, 0, "node", 1, "stop"),
+    (302, 0, "way", 1, ""),
+]
+
+V_MASTERS: dict[int, tuple[list[tuple[str, int, str]], dict[str, str]]] = {
+    401: ([("way", 1, ""), ("relation", 9001, "")], {"name": "X", "ref": "X"}),
+    402: ([("relation", 9001, ""), ("relation", 9002, "")],
+          {"name": "X", "ref": "X", "operator": "O"}),
+}
+
+V_CHECK_NODES: dict[int, dict[str, str]] = {
+    501: {"public_transport": "stop_position", "disused:highway": "yes", "highway": "primary"},
+    502: {"public_transport": "platform", "highway": "bus_stop", "name": "P",
+          "naptan:AtcoCode": "636X"},
+    503: {"bus": "no"},
+    504: {"public_transport": "stop_position", "bus": "yes"},
+}
+V_CHECK_MEMBERS: list[tuple[int, int, int, str]] = [
+    (601, 0, 501, "platform"),
+    (601, 1, 502, "platform_entry_only"),
+    (601, 2, 503, "stop"),
+    (601, 3, 504, "stop_exit_only"),
+]
+
+ONEWAY_EXTRA_WAYS: dict[int, tuple[list[int], dict[str, str]]] = {
+    11: ([1, 2], {"oneway": "yes", "oneway:bus": "-1"}),
+    12: ([1, 2], {}),
+}
+
+
+def _values(rows: list[tuple]) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    return ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+def _tag_values(d: dict[int, dict[str, str]]) -> str:
+    rows = [(rid, k, v) for rid, tags in d.items() for k, v in tags.items()]
+    return _values(rows)
+
+
+def _mk_relations(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    from osm_pt_validator_spark.schemas import RELATION_SCHEMA
+
+    return spark.createDataFrame(rows, RELATION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize Common-Crawl-style pages from sf0.001
+    documents, run G1/G2 extraction, kNN-match stop mentions to the
+    fixture stops dim, and emit the z=15 tile heatmap of matches."""
+    _prep(spark)
+    from osm_pt_validator_spark.fixtures import nodes_df
+    from osm_pt_validator_spark.sources.pages import extract_mentions
+    from osm_pt_validator_spark.spatial.knn import knn_join
+    from osm_pt_validator_spark.spatial.tiles import failure_heatmap
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.format_string("https://pages.example.org/doc/%d", "doc_id").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.format_string(
+                "<html><head><title>doc %d</title></head><body><p>%s</p>"
+                "<p>STOP:%d@%.4f,%.4f</p></body></html>",
+                F.col("doc_id"),
+                F.col("text"),
+                (F.col("doc_id") % 15) + 100,
+                55.90 + ((F.col("doc_id") % 15) + 100) * 1e-4,
+                -3.30 + ((F.col("doc_id") % 15) + 100) * 1e-4,
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    mentions = extract_mentions(pages, from_html=True).filter(F.col("kind") == "stop")
+    stops = nodes_df(spark).select(F.col("node_id").alias("stop_id"), "lat", "lon")
+    matched = knn_join(
+        mentions, stops, probe_key=["url", "mention_idx"], build_key="stop_id",
+        k=1, ring=1, res=16,
+    )
+    return failure_heatmap(matched, z=15).orderBy("tile_x", "tile_y")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_top_customers(spark, sf):
+    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_c"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_c,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_c DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_part_brand_stats(spark, sf):
+    l, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"))
+    )
+
+
+SQL_PART_BRAND = """
+SELECT p_brand, COUNT(*) AS n_items,
+  SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_customer_order_ranks(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+SQL_ORDER_RANKS = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_cents(F.col("value"))).alias("sum_value_c"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+  COUNT(*) AS n, SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- validator family (fixture VALUES both sides) --------------------------
+
+
+def q_v_tags(spark, sf):
+    from osm_pt_validator_spark.operators.tags import validate_re_tags
+
+    rels = _mk_relations(
+        spark, [(rid, 1, [], tags) for rid, tags in V_TAG_RELS.items()]
+    )
+    return validate_re_tags(rels).select("relation_id", "url", "message")
+
+
+SQL_V_TAGS = f"""
+WITH rel(relation_id) AS (VALUES {_values([(r,) for r in V_TAG_RELS])}),
+tags(relation_id, k, v) AS (VALUES {_tag_values(V_TAG_RELS)}),
+req(k) AS (VALUES ('from'), ('to'), ('name'), ('operator'), ('ref')),
+missing AS (
+  SELECT r.relation_id,
+    'https://www.openstreetmap.org/relation/' || r.relation_id AS url,
+    'missing tag ''' || q.k || '''' AS message
+  FROM rel r CROSS JOIN req q
+  LEFT JOIN tags t ON t.relation_id = r.relation_id AND t.k = q.k
+  WHERE t.relation_id IS NULL),
+val_checks AS (
+  SELECT relation_id, url, message FROM (
+    SELECT r.relation_id,
+      'https://www.openstreetmap.org/relation/' || r.relation_id AS url,
+      CASE WHEN t.v IS NULL THEN 'missing tag ''type'''
+           WHEN t.v <> 'route' THEN 'tag ''type'' should have value ''route''' END AS message
+    FROM rel r LEFT JOIN tags t ON t.relation_id = r.relation_id AND t.k = 'type')
+  WHERE message IS NOT NULL
+  UNION ALL
+  SELECT relation_id, url, message FROM (
+    SELECT r.relation_id,
+      'https://www.openstreetmap.org/relation/' || r.relation_id AS url,
+      CASE WHEN t.v IS NULL THEN 'missing tag ''public_transport:version'''
+           WHEN t.v <> '2' THEN 'tag ''public_transport:version'' should have value ''2''' END AS message
+    FROM rel r LEFT JOIN tags t ON t.relation_id = r.relation_id AND t.k = 'public_transport:version')
+  WHERE message IS NOT NULL)
+SELECT CAST(relation_id AS BIGINT) AS relation_id, url, message
+FROM (SELECT * FROM missing UNION ALL SELECT * FROM val_checks)
+"""
+
+
+def _members_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "relation_id long, member_idx int, type string, ref long, role string"
+    )
+
+
+def _rels_from_members(spark, rows, tags_by_rel=None):
+    by_rel: dict[int, list] = {}
+    for rid, idx, t, ref, role in sorted(rows):
+        by_rel.setdefault(rid, []).append((t, ref, role))
+    tags_by_rel = tags_by_rel or {}
+    return _mk_relations(
+        spark,
+        [(rid, 1, ms, tags_by_rel.get(rid, {})) for rid, ms in sorted(by_rel.items())],
+    )
+
+
+def q_v_member_order(spark, sf):
+    from osm_pt_validator_spark.operators.member_order import validate_member_order
+
+    rels = _rels_from_members(spark, V_MEMBERS)
+    return validate_member_order(rels).select("relation_id", "url", "message")
+
+
+_STOPLIKE_SQL = ("role IN ('stop','stop_entry_only','stop_exit_only',"
+                 "'platform','platform_entry_only','platform_exit_only')")
+
+SQL_V_MEMBER_ORDER = f"""
+WITH m(relation_id, member_idx, type, ref, role) AS (VALUES {_values(V_MEMBERS)}),
+s AS (SELECT *, {_STOPLIKE_SQL} AS stoplike FROM m),
+per_member AS (
+  SELECT relation_id,
+    'https://www.openstreetmap.org/' || type || '/' || ref AS url,
+    CASE WHEN type = 'node' AND role = '' THEN 'stop/platform with empty role'
+         WHEN role <> '' AND NOT stoplike
+           THEN 'element has unexpected role ''' || role || '''' END AS message
+  FROM s),
+agg AS (
+  SELECT relation_id,
+    min(CASE WHEN stoplike THEN member_idx END) AS min_stop,
+    max(CASE WHEN stoplike THEN member_idx END) AS max_stop,
+    min(CASE WHEN NOT stoplike THEN member_idx END) AS min_nonstop,
+    count(CASE WHEN stoplike THEN 1 END) AS n_stop,
+    count(CASE WHEN NOT stoplike THEN 1 END) AS n_nonstop
+  FROM s GROUP BY relation_id),
+flags AS (
+  SELECT relation_id, '' AS url, 'route way appears before stop/platform' AS message
+  FROM agg WHERE n_nonstop > 0 AND (n_stop = 0 OR min_nonstop < min_stop)
+  UNION ALL
+  SELECT relation_id, '', 'stop/platform appears after route ways'
+  FROM agg WHERE n_stop > 0 AND n_nonstop > 0 AND max_stop > min_nonstop
+  UNION ALL
+  SELECT relation_id, '', 'route does not contain a stop/platform' FROM agg WHERE n_stop = 0
+  UNION ALL
+  SELECT relation_id, '', 'route does not contain any route ways' FROM agg WHERE n_nonstop = 0)
+SELECT CAST(relation_id AS BIGINT) AS relation_id, url, message
+FROM (SELECT * FROM per_member WHERE message IS NOT NULL UNION ALL SELECT * FROM flags)
+"""
+
+
+def q_v_node_count(spark, sf):
+    from osm_pt_validator_spark.operators.node_count import validate_node_count
+
+    rels = _rels_from_members(spark, V_COUNT_MEMBERS)
+    return validate_node_count(rels, minimum_node_members=1).select(
+        "relation_id", "url", "message"
+    )
+
+
+SQL_V_NODE_COUNT = f"""
+WITH m(relation_id, member_idx, type, ref, role) AS (VALUES {_values(V_COUNT_MEMBERS)})
+SELECT CAST(relation_id AS BIGINT) AS relation_id,
+  'https://www.openstreetmap.org/relation/' || relation_id AS url,
+  'relation does not have enough node members' AS message
+FROM m GROUP BY relation_id
+HAVING count(CASE WHEN type = 'node' THEN 1 END) < 1
+"""
+
+
+def q_v_route_master(spark, sf):
+    from osm_pt_validator_spark.operators.route_master import validate_route_masters
+
+    rels = _mk_relations(
+        spark, [(rid, 1, ms, tags) for rid, (ms, tags) in V_MASTERS.items()]
+    )
+    return validate_route_masters(rels, minimum_route_variants=2).select(
+        "relation_id", "url", "message"
+    )
+
+
+_VRM_MEMBER_ROWS = [
+    (rid, i, t, ref, role)
+    for rid, (ms, _tags) in V_MASTERS.items()
+    for i, (t, ref, role) in enumerate(ms)
+]
+_VRM_TAGS = {rid: tags for rid, (_ms, tags) in V_MASTERS.items()}
+
+SQL_V_ROUTE_MASTER = f"""
+WITH m(relation_id, member_idx, type, ref, role) AS (VALUES {_values(_VRM_MEMBER_ROWS)}),
+tags(relation_id, k, v) AS (VALUES {_tag_values(_VRM_TAGS)}),
+rel(relation_id) AS (SELECT DISTINCT relation_id FROM m),
+member_v AS (
+  SELECT relation_id,
+    'https://www.openstreetmap.org/' || type || '/' || ref AS url,
+    'member is not a relation' AS message
+  FROM m WHERE type <> 'relation'),
+variants AS (
+  SELECT relation_id,
+    'https://www.openstreetmap.org/relation/' || relation_id AS url,
+    'not enough route variants' AS message
+  FROM m GROUP BY relation_id
+  HAVING count(CASE WHEN type = 'relation' THEN 1 END) < 2),
+req(k) AS (VALUES ('name'), ('ref'), ('operator')),
+missing AS (
+  SELECT r.relation_id,
+    'https://www.openstreetmap.org/relation/' || r.relation_id AS url,
+    'missing tag ''' || q.k || '''' AS message
+  FROM rel r CROSS JOIN req q
+  LEFT JOIN tags t ON t.relation_id = r.relation_id AND t.k = q.k
+  WHERE t.relation_id IS NULL)
+SELECT CAST(relation_id AS BIGINT) AS relation_id, url, message
+FROM (SELECT * FROM member_v UNION ALL SELECT * FROM variants UNION ALL SELECT * FROM missing)
+"""
+
+
+def q_v_node_checks(spark, sf):
+    from osm_pt_validator_spark.operators.node_checks import validate_relation_nodes
+    from osm_pt_validator_spark.schemas import NODE_SCHEMA
+
+    members = _members_df(
+        spark, [(rid, i, "node", ref, role) for rid, i, ref, role in V_CHECK_MEMBERS]
+    )
+    nodes = spark.createDataFrame(
+        [(nid, 0.0, 0.0, 1, tags) for nid, tags in V_CHECK_NODES.items()], NODE_SCHEMA
+    )
+    return validate_relation_nodes(members, nodes, naptan_platform_tags=True).select(
+        "relation_id", "url", "message"
+    )
+
+
+_VNC_MEMBER_ROWS = [(rid, i, ref, role) for rid, i, ref, role in V_CHECK_MEMBERS]
+
+SQL_V_NODE_CHECKS = f"""
+WITH m(relation_id, member_idx, ref, role) AS (VALUES {_values(_VNC_MEMBER_ROWS)}),
+nt(node_id, k, v) AS (VALUES {_tag_values(V_CHECK_NODES)}),
+plat AS (SELECT * FROM m WHERE role IN ('platform','platform_entry_only','platform_exit_only')),
+stp AS (SELECT * FROM m WHERE role IN ('stop','stop_entry_only','stop_exit_only')),
+checks AS (
+  SELECT relation_id, ref, message FROM (
+    SELECT p.relation_id, p.ref,
+      CASE WHEN t.v IS NULL THEN 'node is missing public_transport tag'
+           WHEN t.v <> 'platform' THEN 'node should have public_transport=platform' END AS message
+    FROM plat p LEFT JOIN nt t ON t.node_id = p.ref AND t.k = 'public_transport')
+  WHERE message IS NOT NULL
+  UNION ALL
+  SELECT p.relation_id, p.ref, 'node has disused:highway tag'
+  FROM plat p JOIN nt t ON t.node_id = p.ref AND t.k = 'disused:highway'
+  UNION ALL
+  SELECT p.relation_id, p.ref, 'node should have highway=bus_stop'
+  FROM plat p JOIN nt t ON t.node_id = p.ref AND t.k = 'highway' AND t.v <> 'bus_stop'
+  UNION ALL
+  SELECT p.relation_id, p.ref, 'node is missing name tag'
+  FROM plat p LEFT JOIN nt t ON t.node_id = p.ref AND t.k = 'name' WHERE t.node_id IS NULL
+  UNION ALL
+  SELECT p.relation_id, p.ref, 'missing tag ''naptan:AtcoCode'''
+  FROM plat p LEFT JOIN nt t ON t.node_id = p.ref AND t.k = 'naptan:AtcoCode' WHERE t.node_id IS NULL
+  UNION ALL
+  SELECT relation_id, ref, message FROM (
+    SELECT s.relation_id, s.ref,
+      CASE WHEN t.v IS NULL THEN 'node is missing public_transport tag'
+           WHEN t.v <> 'stop_position' THEN 'node should have public_transport=stop_position' END AS message
+    FROM stp s LEFT JOIN nt t ON t.node_id = s.ref AND t.k = 'public_transport')
+  WHERE message IS NOT NULL
+  UNION ALL
+  SELECT s.relation_id, s.ref, 'node should have bus=yes'
+  FROM stp s JOIN nt t ON t.node_id = s.ref AND t.k = 'bus' AND t.v <> 'yes')
+SELECT CAST(relation_id AS BIGINT) AS relation_id,
+  'https://www.openstreetmap.org/node/' || ref AS url, message
+FROM checks
+"""
+
+
+def q_v_oneway_url(spark, sf):
+    from osm_pt_validator_spark.fixtures import NETWORK_WAYS
+    from osm_pt_validator_spark.functions.elements import element_url, oneway_tag
+    from osm_pt_validator_spark.schemas import WAY_SCHEMA
+
+    all_ways = dict(NETWORK_WAYS)
+    all_ways.update(ONEWAY_EXTRA_WAYS)
+    ways = spark.createDataFrame(
+        [(wid, 1, nodes, tags) for wid, (nodes, tags) in sorted(all_ways.items())],
+        WAY_SCHEMA,
+    )
+    return ways.select(
+        "way_id",
+        oneway_tag(F.col("tags")).alias("oneway"),
+        element_url(F.lit("way"), F.col("way_id")).alias("url"),
+    )
+
+
+def _oneway_fixture_tag_values():
+    from osm_pt_validator_spark.fixtures import NETWORK_WAYS
+
+    all_ways = dict(NETWORK_WAYS)
+    all_ways.update(ONEWAY_EXTRA_WAYS)
+    ids = _values([(wid,) for wid in sorted(all_ways)])
+    tag_rows = [(wid, k, v) for wid, (_n, tags) in sorted(all_ways.items())
+                for k, v in tags.items()]
+    return ids, _values(tag_rows)
+
+
+def _sql_v_oneway() -> str:
+    ids, tag_rows = _oneway_fixture_tag_values()
+    return f"""
+WITH w(way_id) AS (VALUES {ids}),
+t(way_id, k, v) AS (VALUES {tag_rows})
+SELECT CAST(w.way_id AS BIGINT) AS way_id,
+  COALESCE(psv.v, bus.v, ow.v, CASE WHEN j.v = 'roundabout' THEN 'yes' END) AS oneway,
+  'https://www.openstreetmap.org/way/' || w.way_id AS url
+FROM w
+LEFT JOIN t psv ON psv.way_id = w.way_id AND psv.k = 'oneway:psv'
+LEFT JOIN t bus ON bus.way_id = w.way_id AND bus.k = 'oneway:bus'
+LEFT JOIN t ow ON ow.way_id = w.way_id AND ow.k = 'oneway'
+LEFT JOIN t j ON j.way_id = w.way_id AND j.k = 'junction'
+"""
+
+
+# --- spatial ---------------------------------------------------------------
+
+
+def q_cell_counts_events(spark, sf):
+    from osm_pt_validator_spark.functions.geo import cell
+
+    e = _t(spark, sf, "events")
+    lat = (F.col("user_id") % 1700) / 10.0 - 85.0
+    lon = (F.col("event_id") % 3600) / 10.0 - 180.0
+    return (
+        e.select(cell(lat, lon, 8).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CELL_COUNTS = f"""
+SELECT {_sql_cell("(user_id % 1700) / 10.0 - 85.0", "(event_id % 3600) / 10.0 - 180.0", 8)} AS cell,
+  COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_tile_heatmap_customers(spark, sf):
+    from osm_pt_validator_spark.spatial.tiles import failure_heatmap
+
+    c = _t(spark, sf, "customer").select(
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return failure_heatmap(c, z=12).select(
+        F.col("tile_z").cast("int").alias("tile_z"), "tile_x", "tile_y", "n"
+    )
+
+
+SQL_TILE_HEATMAP = f"""
+SELECT CAST(12 AS INT) AS tile_z,
+  {_sql_tile_x(_SQL_CUST_LON, 12)} AS tile_x,
+  {_sql_tile_y(_SQL_CUST_LAT, 12)} AS tile_y,
+  COUNT(*) AS n
+FROM customer GROUP BY 1, 2, 3
+"""
+
+
+def q_knn_customers_suppliers(spark, sf):
+    from osm_pt_validator_spark.spatial.knn import knn_join
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("stop_id"),
+        _supp_lat(F.col("s_suppkey")).alias("lat"),
+        _supp_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    return knn_join(
+        c, s, probe_key="c_custkey", build_key="stop_id", k=2, ring=1, res=8
+    ).select("c_custkey", F.col("stop_id").alias("s_suppkey"), F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
+SQL_KNN = f"""
+SELECT c_custkey, s_suppkey, CAST(rnk AS INT) AS knn_rank FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+    row_number() OVER (PARTITION BY c.c_custkey ORDER BY
+      {_sql_haversine(_SQL_CUST_LAT.replace("c_custkey", "c.c_custkey"),
+                      _SQL_CUST_LON.replace("c_custkey", "c.c_custkey"),
+                      _SQL_SUPP_LAT.replace("s_suppkey", "s.s_suppkey"),
+                      _SQL_SUPP_LON.replace("s_suppkey", "s.s_suppkey"))} ASC,
+      s.s_suppkey ASC) AS rnk
+  FROM customer c CROSS JOIN supplier s)
+WHERE rnk <= 2
+"""
+
+
+def q_salted_cell_join(spark, sf):
+    from osm_pt_validator_spark.functions.geo import cell
+    from osm_pt_validator_spark.spatial.joins import salted_equi_join
+
+    pid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    points = _t(spark, sf, "lineitem").select(
+        pid.alias("point_id"),
+        cell(55.9 + (pid % 40) * 0.002, -3.3 + ((pid * 3) % 40) * 0.002, 12).alias("cell"),
+    )
+    sk = F.col("s_suppkey")
+    stops = _t(spark, sf, "supplier").select(
+        sk.alias("stop_id"),
+        cell(55.9 + (sk % 40) * 0.002, -3.3 + ((sk * 3) % 40) * 0.002, 12).alias("cell"),
+    )
+    hot = points.groupBy("cell").count().filter(F.col("count") > 2000).select("cell")
+    return salted_equi_join(
+        points, stops, "cell", salt_factor=4, hot=hot, probe_salt_col="point_id"
+    ).select("point_id", "stop_id")
+
+
+_SQL_PID = "(l_orderkey * 10 + l_linenumber)"
+SQL_SALTED_JOIN = f"""
+WITH points AS (
+  SELECT {_SQL_PID} AS point_id,
+    {_sql_cell(f"55.9 + ({_SQL_PID} % 40) * 0.002", f"-3.3 + (({_SQL_PID} * 3) % 40) * 0.002", 12)} AS cell
+  FROM lineitem),
+stops AS (
+  SELECT s_suppkey AS stop_id,
+    {_sql_cell("55.9 + (s_suppkey % 40) * 0.002", "-3.3 + ((s_suppkey * 3) % 40) * 0.002", 12)} AS cell
+  FROM supplier)
+SELECT p.point_id, s.stop_id FROM points p JOIN stops s ON p.cell = s.cell
+"""
+
+
+# --- text / dedup / similarity ----------------------------------------------
+
+
+def q_doc_stats(spark, sf):
+    from osm_pt_validator_spark.operators.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+def _sql_stop_count(lang_words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_filter(toks, x -> x IN ({inlist})))"
+
+
+def _sql_doc_stats() -> str:
+    from osm_pt_validator_spark.operators.text import LANG_STOPWORDS
+
+    toks = _SQL_TOKENS.format(t="text")
+    c_en = _sql_stop_count(LANG_STOPWORDS["en"])
+    c_de = _sql_stop_count(LANG_STOPWORDS["de"])
+    c_fr = _sql_stop_count(LANG_STOPWORDS["fr"])
+    c_es = _sql_stop_count(LANG_STOPWORDS["es"])
+    return f"""
+WITH d AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+c AS (SELECT doc_id, text, toks,
+  {c_en} AS c_en, {c_de} AS c_de, {c_fr} AS c_fr, {c_es} AS c_es FROM d)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(list_sum(list_transform(toks, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS lang_guess,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM c
+"""
+
+
+def q_doc_quality(spark, sf):
+    from osm_pt_validator_spark.operators.text import quality_features, quality_score
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    f = quality_features(t)
+    ppm = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+    return d.select(
+        "doc_id",
+        quality_score(t).alias("quality"),
+        ppm(f["alpha_ratio"]).alias("alpha_ppm"),
+        ppm(f["digit_ratio"]).alias("digit_ppm"),
+        ppm(f["punct_ratio"]).alias("punct_ppm"),
+        ppm(f["stopword_ratio"]).alias("stop_ppm"),
+    )
+
+
+def _sql_doc_quality() -> str:
+    from osm_pt_validator_spark.operators.text import LANG_STOPWORDS
+
+    toks = _SQL_TOKENS.format(t="text")
+    c_en = _sql_stop_count(LANG_STOPWORDS["en"])
+    return f"""
+WITH d AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+feat AS (
+  SELECT doc_id,
+    CAST(len(text) AS DOUBLE) AS n,
+    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+    CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(toks) AS DOUBLE) AS toks_n,
+    CAST({c_en} AS DOUBLE) AS stop_en
+  FROM d),
+r AS (
+  SELECT doc_id,
+    round(alpha / (CASE WHEN n > 0 THEN n ELSE 1.0 END), 6) AS alpha_ratio,
+    round(digit / (CASE WHEN n > 0 THEN n ELSE 1.0 END), 6) AS digit_ratio,
+    round(punct / (CASE WHEN n > 0 THEN n ELSE 1.0 END), 6) AS punct_ratio,
+    round(stop_en / (CASE WHEN toks_n > 0 THEN toks_n ELSE 1.0 END), 6) AS stopword_ratio,
+    round(alpha / (CASE WHEN toks_n > 0 THEN toks_n ELSE 1.0 END), 6) AS mean_token_len
+  FROM feat)
+SELECT doc_id,
+  CAST(round(40.0 * alpha_ratio
+    + 30.0 * LEAST(stopword_ratio * 2, 1.0)
+    + 15.0 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.0 END)
+    + 15.0 * (1.0 - LEAST(digit_ratio * 5, 1.0))) AS INT) AS quality,
+  CAST(round(alpha_ratio * 1e6) AS BIGINT) AS alpha_ppm,
+  CAST(round(digit_ratio * 1e6) AS BIGINT) AS digit_ppm,
+  CAST(round(punct_ratio * 1e6) AS BIGINT) AS punct_ppm,
+  CAST(round(stopword_ratio * 1e6) AS BIGINT) AS stop_ppm
+FROM r
+"""
+
+
+def q_fingerprint_groups(spark, sf):
+    from osm_pt_validator_spark.operators.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+SQL_FINGERPRINT_GROUPS = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+  MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_sigs(spark, sf):
+    from osm_pt_validator_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        shingle_hashes,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", shingle_hashes(F.col("text"), 3).alias("sh")
+    )
+    # repartition inserts an exchange so the shingle-hash projection
+    # cannot be collapsed back into the 8 min-hash expressions
+    d = d.repartition(4, "doc_id")
+    return d.select(
+        "doc_id",
+        F.posexplode(minhash_signature_from_hashes(F.col("sh"), num_hashes=8)).alias(
+            "hash_idx", "min_hash"
+        ),
+    ).select("doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "min_hash")
+
+
+def _sql_minhash() -> str:
+    from osm_pt_validator_spark.operators.dedup import MINHASH_P, minhash_params
+
+    toks = _SQL_TOKENS.format(t="text")
+    params = _values([(m, *minhash_params(m)) for m in range(8)])
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id,
+  list_transform(
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END),
+    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {MINHASH_P}) AS hs
+  FROM d),
+par(m, a, b) AS (VALUES {params})
+SELECT s.doc_id, CAST(p.m AS INT) AS hash_idx,
+  list_min(list_transform(s.hs, x -> (x * p.a + p.b) % {MINHASH_P})) AS min_hash
+FROM sh s CROSS JOIN par p
+"""
+
+
+def q_near_dup_pairs(spark, sf):
+    from osm_pt_validator_spark.operators.dedup import shingles
+
+    # precompute shingle arrays once per doc (re-tokenising inside the
+    # pair join would re-evaluate the split per candidate pair)
+    d = _t(spark, sf, "documents").select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    )
+    # band the range join into an equi-join: doc_a probes buckets
+    # [floor(a/20), floor(a/20)+1]; a nested-loop join would evaluate
+    # the jaccard for every one of the n^2/2 pairs.
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sha"),
+        F.explode(
+            F.array(F.floor(F.col("doc_id") / 20), F.floor(F.col("doc_id") / 20) + 1)
+        ).alias("bucket"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        F.floor(F.col("doc_id") / 20).alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("doc_b") > F.col("doc_a")) & (F.col("doc_b") - F.col("doc_a") <= 20)
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("double")
+    union = F.size(F.array_union(F.col("sha"), F.col("shb"))).cast("double")
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+    return (
+        pairs.select(
+            "doc_a", "doc_b", F.round(jac * 1e6).cast("long").alias("jaccard_ppm")
+        )
+        .filter(F.col("jaccard_ppm") >= 500000)
+    )
+
+
+def _sql_near_dup() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS sh
+  FROM d),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(round(round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
+      ELSE 0.0 END, 6) * 1e6) AS BIGINT) AS jaccard_ppm
+  FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
+SELECT doc_a, doc_b, jaccard_ppm FROM pairs WHERE jaccard_ppm >= 500000
+"""
+
+
+def q_embedding_topk(spark, sf):
+    from osm_pt_validator_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(e, queries, k=5).select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm"),
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+    round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+      THEN list_dot_product(e.v, q.qv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+      ELSE 0.0 END, 6) AS sim
+  FROM e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+  CAST(round(sim * 1e6) AS BIGINT) AS sim_ppm
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def q_way_order_verdicts(spark, sf):
+    """Frontier automaton + stop order over ALL fixture way-order cases
+    (sequential per-relation semantics — no SQL oracle)."""
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.fixtures import (
+        WAY_ORDER_CASES,
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+    from osm_pt_validator_spark.operators.pipeline import validate_route_relations
+
+    rows = [
+        relation_row(9000 + i, stop_members(100, 102) + way_members(*way_ids), route_tags())
+        for i, (_n, way_ids, ignore, _e) in enumerate(WAY_ORDER_CASES)
+        if not ignore
+    ]
+    verdicts, _ = validate_route_relations(
+        relations_df(spark, rows), nodes_df(spark), ways_df(spark), ValidationConfig()
+    )
+    return verdicts.filter(F.col("stage_no").isin(4, 5, 6)).select(
+        "relation_id", "stage_no", "seq", "url", "message"
+    )
+
+
+def q_validate_pipeline(spark, sf):
+    """Full dispatch pipeline (routes + masters) over a mixed fixture."""
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.fixtures import (
+        member,
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+    from osm_pt_validator_spark.operators.pipeline import validate_all
+
+    rows = [
+        relation_row(1, stop_members(102, 104) + way_members(3, 4), route_tags()),
+        relation_row(2, stop_members(100, 102) + way_members(1, 3), route_tags()),
+        relation_row(3, way_members(5, 7), route_tags(**{"public_transport:version": "1"})),
+        relation_row(
+            4, [member("relation", 1), member("way", 5)],
+            {"type": "route_master", "name": "M", "ref": "M"},
+        ),
+    ]
+    verdicts, _ = validate_all(
+        relations_df(spark, rows), nodes_df(spark), ways_df(spark),
+        ValidationConfig(minimum_route_variants=2),
+    )
+    return verdicts.select("relation_id", "stage_no", "seq", "url", "message")
+
+
+def q_pip_contained(spark, sf):
+    """Ray-cast PIP (numpy UDF — no SQL oracle)."""
+    from osm_pt_validator_spark.spatial.pip import points_in_polygons
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    polygons = spark.createDataFrame(
+        [(1, [-3.30, -3.26, -3.26, -3.28, -3.30], [55.90, 55.90, 55.94, 55.92, 55.94])],
+        "polygon_id long, xs array<double>, ys array<double>",
+    )
+    return points_in_polygons(c, polygons, res=10).select("polygon_id", "point_id")
+
+
+def q_simhash_pairs(spark, sf):
+    from osm_pt_validator_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=8).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_lsh_ann_topk(spark, sf):
+    from osm_pt_validator_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_ann_topk(e, queries, dim=64, k=5, num_planes=6).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_media_decode(spark, sf):
+    """Multimodal plumbing over synthesized binary payloads (decode is
+    the documented deterministic stub — no SQL oracle)."""
+    from osm_pt_validator_spark.operators.multimodal import decode_media
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return decode_media(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+def q_mentions_extract(spark, sf):
+    """G1+G2 over pages synthesized from documents (Arrow UDF path)."""
+    from osm_pt_validator_spark.sources.pages import extract_mentions
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.format_string("https://pages.example.org/doc/%d", "doc_id").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.format_string(
+                "<html><body><p>%s</p><p>STOP:%d@55.9500,-3.1900 ROUTE:%d</p></body></html>",
+                F.col("text"), F.col("doc_id") % 50 + 100, F.col("doc_id"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    return extract_mentions(pages, from_html=True).select(
+        "url", "mention_idx", "kind", "entity_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _prep(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {
+        # relational core
+        "pricing_summary": wrap(q_pricing_summary),
+        "top_customers": wrap(q_top_customers),
+        "part_brand_stats": wrap(q_part_brand_stats),
+        "customer_order_ranks": wrap(q_customer_order_ranks),
+        "events_hourly": wrap(q_events_hourly),
+        # validator family (SURVEY §2.2-2.4, §2.7)
+        "v_tags": wrap(q_v_tags),
+        "v_member_order": wrap(q_v_member_order),
+        "v_node_count": wrap(q_v_node_count),
+        "v_route_master": wrap(q_v_route_master),
+        "v_node_checks": wrap(q_v_node_checks),
+        "v_oneway_url": wrap(q_v_oneway_url),
+        # spatial (G3-G8)
+        "cell_counts_events": wrap(q_cell_counts_events),
+        "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
+        "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
+        "salted_cell_join": wrap(q_salted_cell_join),
+        # text / dedup / similarity
+        "doc_stats": wrap(q_doc_stats),
+        "doc_quality": wrap(q_doc_quality),
+        "fingerprint_groups": wrap(q_fingerprint_groups),
+        "minhash_sigs": wrap(q_minhash_sigs),
+        "near_dup_pairs": wrap(q_near_dup_pairs),
+        "embedding_topk": wrap(q_embedding_topk),
+        # rows-only (non-SQL-expressible)
+        "way_order_verdicts": wrap(q_way_order_verdicts),
+        "validate_pipeline": wrap(q_validate_pipeline),
+        "pip_contained": wrap(q_pip_contained),
+        "simhash_pairs": wrap(q_simhash_pairs),
+        "lsh_ann_topk": wrap(q_lsh_ann_topk),
+        "media_decode": wrap(q_media_decode),
+        "mentions_extract": wrap(q_mentions_extract),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "part_brand_stats": SQL_PART_BRAND,
+        "customer_order_ranks": SQL_ORDER_RANKS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "v_tags": SQL_V_TAGS,
+        "v_member_order": SQL_V_MEMBER_ORDER,
+        "v_node_count": SQL_V_NODE_COUNT,
+        "v_route_master": SQL_V_ROUTE_MASTER,
+        "v_node_checks": SQL_V_NODE_CHECKS,
+        "v_oneway_url": _sql_v_oneway(),
+        "cell_counts_events": SQL_CELL_COUNTS,
+        "tile_heatmap_customers": SQL_TILE_HEATMAP,
+        "knn_customers_suppliers": SQL_KNN,
+        "salted_cell_join": SQL_SALTED_JOIN,
+        "doc_stats": _sql_doc_stats(),
+        "doc_quality": _sql_doc_quality(),
+        "fingerprint_groups": SQL_FINGERPRINT_GROUPS,
+        "minhash_sigs": _sql_minhash(),
+        "near_dup_pairs": _sql_near_dup(),
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+    }

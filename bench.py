@@ -1,0 +1,279 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline suite (the engine's scale-critical paths):
+  * extract_mentions : G1+G2 Arrow extraction over ~600k synthesized
+                       pages (drives the docs/min headline metric)
+  * validation       : full validator pipeline over ~N synthetic route
+                       relations (frontier automaton at scale —
+                       applyInPandas across relations)
+  * spatial_join     : salted cell join, lineitem-derived points x
+                       supplier stops (drives join rows/sec)
+  * knn_match        : k-ring kNN customers -> supplier stops
+  * pricing_summary  : relational agg baseline (whole-stage codegen)
+  * minhash_pairs    : MinHash LSH near-dup over documents
+  * embedding_topk   : brute-force cosine top-k over embeddings
+
+Environment:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[<n>] parallelism (default 32)
+
+Scaling-efficiency evidence (BASELINE.md protocol): run twice —
+SPARK_GRAFT_CPUS=8 and =32 — on the same input; E = (T_8/T_32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F
+
+
+def _pages_from_lineitem(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return l.select(
+        F.format_string("https://pages.example.org/l/%d", pid).alias("url"),
+        F.encode(
+            F.format_string(
+                "<html><head><title>item %d</title></head><body>"
+                "<p>order %d shipped flag %s status %s qty %.2f price %.2f</p>"
+                "<p>STOP:%d@%.4f,%.4f ROUTE:%d</p></body></html>",
+                pid,
+                F.col("l_orderkey"),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+                F.col("l_quantity"),
+                F.col("l_extendedprice"),
+                pid % 5000 + 100,
+                55.9 + ((pid % 5000) + 100) * 1e-5,
+                -3.3 + ((pid % 5000) + 100) * 1e-5,
+                F.col("l_orderkey") % 1000,
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
+def bench_extract_mentions(spark, sf_dir):
+    from osm_pt_validator_spark.sources.pages import extract_text_udf
+
+    pages = _pages_from_lineitem(spark, sf_dir)
+    # G1 extraction + G2-shaped mention count in one pass
+    n_pages = pages.count()
+    extracted = pages.select(
+        "url", extract_text_udf(F.col("html")).alias("text")
+    ).select(
+        F.sum(F.length("text")).alias("chars"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()[0]
+    return {"docs": n_pages, "chars": int(extracted.chars)}
+
+
+_N_RELS = 100_000
+_WAYS_PER_REL = 8
+
+
+def _synth_osm(spark):
+    """Deterministic synthetic network: chain ways (way w: nodes
+    [w, w+1]); every 13th way reversed (oneway violations), every 7th
+    tagged oneway=yes. Relation r: 2 stops + ways r*4+1 .. r*4+8."""
+    n_ways = _N_RELS * 4 + _WAYS_PER_REL + 1
+    ways = spark.range(1, n_ways).select(
+        F.col("id").alias("way_id"),
+        F.lit(1).alias("version"),
+        F.when(
+            F.col("id") % 13 == 0, F.array(F.col("id") + 1, F.col("id"))
+        ).otherwise(F.array(F.col("id"), F.col("id") + 1)).alias("nodes"),
+        F.when(
+            F.col("id") % 7 == 0, F.create_map(F.lit("oneway"), F.lit("yes"))
+        ).otherwise(F.create_map().cast("map<string,string>")).alias("tags"),
+    )
+    nodes = spark.range(1, n_ways + 2).select(
+        F.col("id").alias("node_id"),
+        (55.0 + (F.col("id") % 100000) * 1e-5).alias("lat"),
+        (-3.0 + (F.col("id") % 100000) * 1e-5).alias("lon"),
+        F.lit(1).alias("version"),
+        F.create_map(
+            F.lit("public_transport"), F.lit("stop_position"),
+            F.lit("bus"), F.lit("yes"),
+            F.lit("name"), F.format_string("Stop %d", F.col("id")),
+        ).alias("tags"),
+    )
+    first_way = F.col("id") * 4 + 1
+    stops = F.array(
+        F.struct(F.lit("node").alias("type"), first_way.alias("ref"), F.lit("stop").alias("role")),
+        F.struct(
+            F.lit("node").alias("type"),
+            (first_way + _WAYS_PER_REL).alias("ref"),
+            F.lit("stop_exit_only").alias("role"),
+        ),
+    )
+    way_ms = F.transform(
+        F.sequence(first_way, first_way + _WAYS_PER_REL - 1),
+        lambda w: F.struct(
+            F.lit("way").alias("type"), w.alias("ref"), F.lit("").alias("role")
+        ),
+    )
+    relations = spark.range(0, _N_RELS).select(
+        (F.col("id") + 1).alias("relation_id"),
+        F.lit(1).alias("version"),
+        F.concat(stops, way_ms).alias("members"),
+        F.create_map(
+            F.lit("type"), F.lit("route"),
+            F.lit("public_transport:version"), F.lit("2"),
+            F.lit("from"), F.lit("A"), F.lit("to"), F.lit("B"),
+            F.lit("name"), F.format_string("Route %d", F.col("id") + 1),
+            F.lit("operator"), F.lit("Op"), F.lit("ref"), F.lit("R"),
+        ).alias("tags"),
+    )
+    return nodes, ways, relations
+
+
+def bench_validation(spark, sf_dir):
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.operators.pipeline import validate_route_relations
+
+    nodes, ways, relations = _synth_osm(spark)
+    verdicts, errors = validate_route_relations(
+        relations, nodes, ways, ValidationConfig()
+    )
+    n = verdicts.count()
+    return {"relations": _N_RELS, "verdicts": n}
+
+
+def bench_spatial_join(spark, sf_dir):
+    from osm_pt_validator_spark.functions.geo import cell
+    from osm_pt_validator_spark.spatial.joins import salted_equi_join
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    points = l.select(
+        pid.alias("point_id"),
+        cell(55.9 + (pid % 40) * 0.002, -3.3 + ((pid * 3) % 40) * 0.002, 12).alias("cell"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sk = F.col("s_suppkey")
+    stops = s.select(
+        sk.alias("stop_id"),
+        cell(55.9 + (sk % 40) * 0.002, -3.3 + ((sk * 3) % 40) * 0.002, 12).alias("cell"),
+    )
+    hot = points.groupBy("cell").count().filter(F.col("count") > 20000).select("cell")
+    joined = salted_equi_join(points, stops, "cell", salt_factor=8, hot=hot,
+                              probe_salt_col="point_id")
+    return {"join_rows": joined.count()}
+
+
+def bench_knn(spark, sf_dir):
+    from osm_pt_validator_spark.spatial.knn import knn_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        (55.9 + (F.col("c_custkey") % 97) * 0.001).alias("lat"),
+        (-3.3 + ((F.col("c_custkey") * 13) % 89) * 0.001).alias("lon"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("stop_id"),
+        (55.9 + ((F.col("s_suppkey") * 7) % 97) * 0.00097).alias("lat"),
+        (-3.3 + ((F.col("s_suppkey") * 11) % 89) * 0.00103).alias("lon"),
+    )
+    return {
+        "knn_rows": knn_join(
+            c, s, probe_key="c_custkey", build_key="stop_id", k=2, ring=1, res=8
+        ).count()
+    }
+
+
+def bench_pricing(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return {"groups": e.q_pricing_summary(spark, sf_dir).count()}
+
+
+def bench_minhash(spark, sf_dir):
+    from osm_pt_validator_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return {"candidate_pairs": minhash_lsh_pairs(d, num_hashes=16, bands=4).count()}
+
+
+def bench_embedding_topk(spark, sf_dir):
+    from osm_pt_validator_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return {"topk_rows": brute_force_topk(e, q, k=10).count()}
+
+
+BENCHES = {
+    "extract_mentions": bench_extract_mentions,
+    "validation": bench_validation,
+    "spatial_join": bench_spatial_join,
+    "knn_match": bench_knn,
+    "pricing_summary": bench_pricing,
+    "minhash_pairs": bench_minhash,
+    "embedding_topk": bench_embedding_topk,
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from osm_pt_validator_spark.session import ensure_py_files, get_spark
+
+    spark = get_spark("osm-pt-validator-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    ensure_py_files(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths so per-query numbers measure the engine
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+    t_total0 = time.time()
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        extras[name] = fn(spark, sf_dir)
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total0, 3)
+
+    docs = extras["extract_mentions"]["docs"]
+    docs_per_min = round(docs / timings["extract_mentions"] * 60.0, 1)
+    join_rows_per_sec = round(
+        extras["spatial_join"]["join_rows"] / timings["spatial_join"], 1
+    )
+    relations_per_sec = round(
+        extras["validation"]["relations"] / timings["validation"], 1
+    )
+
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (extraction, validation, spatial join, knn, agg, minhash, topk)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "docs_per_min": docs_per_min,
+                "join_rows_per_sec": join_rows_per_sec,
+                "relations_per_sec": relations_per_sec,
+                "counters": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shapes:
+  * exact      — one groupBy on an md5 key (map-side combine).
+  * minhash    — shingle/signature/band computation is per-row array
+                 algebra (no Python, no shuffle); candidate generation
+                 is ONE self-join on (band_idx, band_hash) — the
+                 classic LSH bucket join. Bands are the salting: hot
+                 shingles don't concentrate because the join key is the
+                 banded signature, not the shingle.
+  * simhash    — 64-bit signature via one Arrow pandas UDF (numpy bit
+                 ops); near-dup pairs via banded 16-bit chunk join +
+                 hamming re-rank (same join shape as minhash).
+  * ngram      — exact Jaccard verification on candidate pairs (array
+                 intersect/union) — used as the verifier behind LSH.
+  * embedding  — cosine near-dup over `embeddings` via the similarity
+                 module's join.
+
+All hash functions are md5-derived (functions/hashing.py) so the DuckDB
+oracle can replay signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from osm_pt_validator_spark.functions.hashing import md5_i64
+from osm_pt_validator_spark.operators.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """(fp, keep_doc_id, dup_count) for every duplicate group (>1 doc)
+    keyed by the normalised-text fingerprint."""
+    return (
+        documents.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Documents minus exact duplicates (keep the min doc_id per
+    fingerprint) — the canonical first pass of a data pipeline."""
+    ranked = documents.withColumn("fp", fingerprint(F.col("text")))
+    keep = ranked.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return ranked.join(keep, ["fp", "doc_id"], "inner").drop("fp")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined). NB Spark's
+    sequence(1, 0) DESCENDS instead of returning empty, so short texts
+    need the explicit guard."""
+    toks = tokens(text)
+    m = F.size(toks)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+#: Mersenne prime 2^31-1 — the affine minhash family works mod p, with
+#: the base hash folded into [0, p) so (a*x + b) never overflows int64
+#: under ANSI arithmetic.
+MINHASH_P = 2147483647
+
+
+def minhash_params(m: int) -> tuple[int, int]:
+    """Deterministic affine coefficients for the m-th hash function
+    (Knuth multiplicative constants — reproducible in any engine)."""
+    a = (2654435761 * (m + 1)) % MINHASH_P or 1
+    b = (40503 * m + 7) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """ARRAY<LONG>: one md5-derived base hash in [0, MINHASH_P) per
+    distinct shingle. Materialise this ONCE (projection behind a
+    shuffle/exchange); the per-function minhashes below are then cheap
+    integer affine maps instead of num_hashes full md5 passes (which
+    also blow past whole-stage-codegen method limits)."""
+    return F.transform(shingles(text, n), lambda s: md5_i64(s) % MINHASH_P)
+
+
+def minhash_signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """ARRAY<LONG> signature from pre-computed base hashes:
+    sig[m] = min over shingles of (a_m * h + b_m) mod p; empty shingle
+    set => nulls.
+
+    NB each transform lambda must take exactly ONE parameter:
+    F.transform treats a second parameter as the element index (so
+    ``lambda x, a=a: ...`` would silently receive the index)."""
+
+    def affine(m: int):
+        a, b = minhash_params(m)
+        return lambda x: (x * a + b) % MINHASH_P
+
+    return F.array(
+        *[F.array_min(F.transform(hs, affine(m))) for m in range(num_hashes)]
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Signature straight from text — convenience for single-use plans;
+    prefer the two-step shingle-hash/signature split in hot paths."""
+    return minhash_signature_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH band.
+
+    rows_per_band = num_hashes / bands; band hash = md5 of the
+    signature slice. The pair join is a self-equi-join on
+    (band_idx, band_hash) followed by distinct — at scale the bucket
+    sizes are the knob (more bands => higher recall, bigger buckets).
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    shingled = documents.select(
+        "doc_id", shingle_hashes(F.col("text"), shingle_n).alias("sh")
+    ).repartition("doc_id")
+    # the repartition is load-bearing twice over: (1) the exchange is a
+    # projection barrier, so CollapseProject cannot re-inline the whole
+    # tokenise+shingle+md5 pipeline into each of the num_hashes min-hash
+    # expressions; (2) both sides of the self-join below reuse the SAME
+    # shuffle output (ReusedExchange) instead of recomputing the scan.
+    sig = minhash_signature_from_hashes(F.col("sh"), num_hashes)
+    banded = (
+        shingled.select("doc_id", sig.alias("sig"))
+        .filter(~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), F.lit(True)))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.md5(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rpb + 1, rpb))
+                    ),
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of the two shingle sets, 6 dp."""
+    sa, sb = shingles(text_a, n), shingles(text_b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard >= threshold.
+    Output: (doc_a, doc_b, jaccard)."""
+    pairs = minhash_lsh_pairs(documents, num_hashes, bands, shingle_n)
+    docs_a = documents.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    docs_b = documents.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        pairs.join(docs_a, "doc_a")
+        .join(docs_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ngram_jaccard(F.col("text_a"), F.col("text_b"), shingle_n).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def make_simhash_udf(bits: int = 64):
+    """Arrow-batched SimHash over word tokens (numpy bit algebra)."""
+
+    @pandas_udf(T.LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(text), dtype=np.int64)
+        for row, t in enumerate(text):  # rows in the Arrow batch
+            if not t:
+                continue
+            toks = [w for w in _simple_tokens(t)]
+            if not toks:
+                continue
+            # vectorized over tokens: token hashes -> bit matrix -> sums
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            bitm = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            sums = (2 * bitm - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(sums > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[row] = np.int64(sig)
+        return pd.Series(out)
+
+    return simhash
+
+
+def _simple_tokens(t: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-zA-Z0-9']+", t.lower()) if w]
+
+
+def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 chunk), join
+    on (chunk_idx, chunk), verify exact hamming distance.
+    Output: (doc_a, doc_b, hamming)."""
+    sim = make_simhash_udf(64)
+    sigs = documents.select("doc_id", sim(F.col("text")).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

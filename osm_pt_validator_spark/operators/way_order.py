@@ -242,42 +242,37 @@ _DETAIL_OUT_SCHEMA = T.StructType(
 STAGE_ENGINE_ERROR = -1
 
 
-def _validate_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-relation Arrow batch: run automaton + oneway + stop order.
+def _validate_relation(rel_id: int, members: list) -> list[tuple]:
+    """Run automaton + oneway + stop order for one relation.
 
-    Input columns: relation_id, member_idx, kind('way'|'stop'), ref,
-    nodes (list or None when the way failed to load), oneway,
-    ignore_oneway.
+    members: dicts with (member_idx, kind, ref, nodes, oneway,
+    ignore_oneway), already sorted by member_idx.
+    Returns rows (relation_id, stage_no, seq, url, message).
     """
-    rel_id = int(pdf["relation_id"].iloc[0])
-    pdf = pdf.sort_values("member_idx")
-
-    out: list[tuple[int, int, int, str | None, str]] = []
-
-    ways_pdf = pdf[pdf["kind"] == "way"]
-    stops = [int(r) for r in pdf[pdf["kind"] == "stop"]["ref"]]
+    out: list[tuple] = []
+    ways_m = [m for m in members if m["kind"] == "way"]
+    stops = [int(m["ref"]) for m in members if m["kind"] == "stop"]
 
     # W5: any member way that failed to load => engine error, and the
     # way-order scan yields no verdicts/directions (way_order.go:25-30).
-    missing = ways_pdf[ways_pdf["nodes"].isna()]
-    aborted = len(missing) > 0
-    for ref in missing["ref"]:
-        out.append((rel_id, STAGE_ENGINE_ERROR, 0, None, f"failed to load way {int(ref)}"))
+    missing = [m for m in ways_m if m["nodes"] is None]
+    for m in missing:
+        out.append(
+            (rel_id, STAGE_ENGINE_ERROR, 0, None, f"failed to load way {int(m['ref'])}")
+        )
 
     way_verdicts: list[tuple[str, str]] = []
     directs: list[tuple[int, str, Sequence[int]]] = []
-    if not aborted:
+    if not missing:
         ways = [
             (
-                int(r.ref),
-                [int(n) for n in r.nodes],
-                r.oneway if isinstance(r.oneway, str) else None,
+                int(m["ref"]),
+                [int(n) for n in m["nodes"]],
+                m["oneway"] if isinstance(m["oneway"], str) else None,
             )
-            for r in ways_pdf.itertuples()
+            for m in ways_m
         ]
-        ignore = {
-            int(r.ref) for r in ways_pdf.itertuples() if bool(r.ignore_oneway)
-        }
+        ignore = {int(m["ref"]) for m in ways_m if m["ignore_oneway"]}
         way_verdicts, directs, _ = run_way_order(ways, ignore)
         for i, (url, msg) in enumerate(way_verdicts):
             stage = STAGE_WAY_ORDER if msg == MSG_BAD_ORDER else STAGE_ONEWAY
@@ -290,10 +285,7 @@ def _validate_group(pdf: pd.DataFrame) -> pd.DataFrame:
     if not way_verdicts:
         for i, (url, msg) in enumerate(run_stop_order(directs, stops)):
             out.append((rel_id, STAGE_STOP_ORDER, i, url, msg))
-
-    return pd.DataFrame(
-        out, columns=["relation_id", "stage_no", "seq", "url", "message"]
-    ).astype({"relation_id": "int64", "stage_no": "int32", "seq": "int64"})
+    return out
 
 
 def route_detail(
@@ -345,6 +337,23 @@ def route_detail(
     return way_members.unionByName(stop_members)
 
 
+def _validate_rows(batches):
+    """mapInPandas body over PRE-GROUPED rows: one row per relation,
+    members as a sorted ARRAY<STRUCT>. Every relation is self-contained
+    in its row, so Arrow batch boundaries need no carry-over, and the
+    per-group cost is a plain Python call (~50us) instead of one
+    applyInPandas UDF invocation per group (~2ms) — a 20-40x win when
+    relations are small and numerous (the 100 TB shape)."""
+    cols = ["relation_id", "stage_no", "seq", "url", "message"]
+    for pdf in batches:
+        out: list[tuple] = []
+        for rel_id, ms in zip(pdf["relation_id"], pdf["ms"]):
+            out.extend(_validate_relation(int(rel_id), list(ms)))
+        yield pd.DataFrame(out, columns=cols).astype(
+            {"relation_id": "int64", "stage_no": "int32", "seq": "int64"}
+        )
+
+
 def validate_way_and_stop_order(
     members: DataFrame,
     ways: DataFrame,
@@ -352,13 +361,23 @@ def validate_way_and_stop_order(
 ) -> DataFrame:
     """Stage 4/5/6 verdicts + stage -1 engine errors for all relations.
 
-    One shuffle (groupBy relation_id), one Arrow hop. Output columns:
-    relation_id, stage_no, seq, url, message.
+    Plan: groupBy(relation_id).agg(sort_array(collect_list(struct)))
+    packs each relation into ONE row (hash aggregate — the required
+    distribution is part of the operator, so AQE local shuffle reads
+    cannot break co-location, unlike a bare repartition()), then a
+    single mapInPandas Arrow hop runs the automaton per row.
     """
     detail = route_detail(members, ways, ignore_ways)
-    return detail.groupBy("relation_id").applyInPandas(
-        _validate_group, schema=_DETAIL_OUT_SCHEMA
+    grouped = detail.groupBy("relation_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "member_idx", "kind", "ref", "nodes", "oneway", "ignore_oneway"
+                )
+            )
+        ).alias("ms")
     )
+    return grouped.mapInPandas(_validate_rows, schema=_DETAIL_OUT_SCHEMA)
 
 
 def cheap_gap_prefilter(members: DataFrame, ways: DataFrame) -> DataFrame:

@@ -56,3 +56,28 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_py_files(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers.
+
+    Arrow-batched UDFs (`applyInPandas`, `pandas_udf`) unpickle by
+    module reference, so executors must be able to import
+    ``osm_pt_validator_spark`` — true automatically under
+    ``spark-submit --py-files``, but not when a driver script runs from
+    an arbitrary cwd. Idempotently zip the package and addPyFile it.
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(root, ".osm_pt_validator_spark.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, root)
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)

@@ -1,0 +1,70 @@
+"""Local replica of the driver's DuckDB oracle comparison.
+
+Runs each `queries()` entry and its `oracle_sql()` twin on the same
+sf dir, compares row count, column names, and the order-insensitive
+multiset of stringified values (columns sorted by name) — the same
+comparison shape the driver uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "\0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, sf_dir: str, name: str, q_fn, sql: str):
+    sdf = q_fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    res = con.sql(sql)
+    d_cols = [c.lower() for c in res.columns]
+    d_rows = res.fetchall()
+    con.close()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        a = canonical_rows(s_cols, s_rows)
+        b = canonical_rows(d_cols, d_rows)
+        if a != b:
+            diff_a = [r for r in a if r not in set(b)][:3]
+            diff_b = [r for r in b if r not in set(a)][:3]
+            problems.append(f"values differ; spark-only={diff_a} duck-only={diff_b}")
+    return problems, len(s_rows)

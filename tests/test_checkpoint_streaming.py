@@ -1,0 +1,98 @@
+"""Checkpoint/resume + lineage, and the streaming tile heatmap."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_stage_checkpoint_resume_and_lineage(spark, tmp_path):
+    from osm_pt_validator_spark.plans.checkpoint import (
+        run_stage,
+        stage_complete,
+        verify_lineage,
+    )
+
+    root = str(tmp_path / "ckpt")
+    os.makedirs(root, exist_ok=True)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+
+    a = run_stage(spark, root, "stage1", build)
+    assert a.count() == 1000
+    assert calls["n"] == 1
+    assert stage_complete(root, "stage1")
+
+    # resume: df_fn must NOT be called again
+    b = run_stage(spark, root, "stage1", build)
+    assert b.count() == 1000
+    assert calls["n"] == 1
+
+    assert verify_lineage(spark, root, "stage1")
+
+    # tamper: rewrite the stage with one row missing -> lineage fails
+    spark.range(0, 999).withColumn("v", F.col("id") * 2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "stage1"))
+    assert not verify_lineage(spark, root, "stage1")
+
+
+def test_kill_and_resume_recomputes_only_missing_stage(spark, tmp_path):
+    from osm_pt_validator_spark.plans.checkpoint import run_stage
+
+    root = str(tmp_path / "ckpt2")
+    os.makedirs(root, exist_ok=True)
+    calls = {"s1": 0, "s2": 0}
+
+    def pipeline():
+        s1 = run_stage(
+            spark, root, "s1",
+            lambda: (calls.__setitem__("s1", calls["s1"] + 1), spark.range(100))[1],
+        )
+        s2 = run_stage(
+            spark, root, "s2",
+            lambda: (calls.__setitem__("s2", calls["s2"] + 1), s1.withColumn("y", F.col("id") + 1))[1],
+        )
+        return s2
+
+    pipeline()
+    assert calls == {"s1": 1, "s2": 1}
+    # simulate a crash after s1: delete s2's marker
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "s2"))
+    pipeline()
+    assert calls == {"s1": 1, "s2": 2}  # s1 resumed, s2 recomputed
+
+
+def test_streaming_tile_heatmap(spark, tmp_path):
+    from osm_pt_validator_spark.streaming.heatmap import (
+        run_available_now,
+        streaming_tile_heatmap,
+    )
+
+    src = str(tmp_path / "mentions_stream")
+    rows = [
+        (dt.datetime(2026, 1, 1, 10, 1), 55.95, -3.19),
+        (dt.datetime(2026, 1, 1, 10, 2), 55.95, -3.19),
+        (dt.datetime(2026, 1, 1, 10, 25), 55.95, -3.19),  # later window
+        (dt.datetime(2026, 1, 1, 10, 3), 51.5074, -0.1278),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, lat double, lon double").write.parquet(src)
+
+    sdf = streaming_tile_heatmap(
+        spark, src, "ts timestamp, lat double, lon double", z=10,
+        window_duration="10 minutes", watermark="1 hour",
+    )
+    run_available_now(sdf, "hm_test")
+    out = spark.sql("select * from hm_test").collect()
+    # 3 groups: (win1, edin)=2, (win3, edin)=1, (win1, london)=1
+    assert sum(r.n for r in out) == 4
+    assert len(out) == 3
+    edin = [r for r in out if r.n == 2]
+    assert len(edin) == 1 and edin[0].window_start == dt.datetime(2026, 1, 1, 10, 0)

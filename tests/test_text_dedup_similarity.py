@@ -1,0 +1,193 @@
+"""Text analysis, dedup family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and the cat", "en", "a", 0),
+    (2, "The quick brown fox jumps over the lazy dog and the cat", "en", "b", 0),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog and the hen", "en", "c", 0),  # near dup of 1
+    (4, "Der Hund ist nicht auf der Couch und die Katze ist da", "de", "d", 0),
+    (5, "completely different words entirely about spaceships galaxies", "en", "e", 0),
+    (6, "the  QUICK   brown fox jumps over the lazy dog and the cat ", "en", "f", 0),  # ws/case dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_token_count_and_lang(spark, docs):
+    from osm_pt_validator_spark.operators.text import analyze_documents
+
+    rows = {r.doc_id: r for r in analyze_documents(docs).collect()}
+    assert rows[1].n_tokens == 12
+    assert rows[1].lang_guess == "en"
+    assert rows[4].lang_guess == "de"
+    assert 0 <= rows[1].quality <= 100
+    # whitespace/case-normalised fingerprint: 6 != 1 (case differs)...
+    # fingerprint lowercases, so 6 == 1
+    assert rows[6].fp == rows[1].fp
+    assert rows[5].fp != rows[1].fp
+
+
+def test_exact_dedup(spark, docs):
+    from osm_pt_validator_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keep_doc_id == 1
+    assert groups[0].dup_count == 3  # docs 1, 2, 6
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_near_duplicates(spark, docs):
+    from osm_pt_validator_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 6) in pairs and pairs[(1, 6)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(a != 5 and b != 5 for a, b in pairs)  # 5 is unrelated
+
+    # jaccard expression sanity against python oracle
+    def py_shingles(t):
+        import re
+
+        toks = [w for w in re.split(r"[^a-zA-Z0-9']+", t.lower()) if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sa, sb = py_shingles(DOCS[0][1]), py_shingles(DOCS[2][1])
+    exp = round(len(sa & sb) / len(sa | sb), 6)
+    got = (
+        spark.createDataFrame([(DOCS[0][1], DOCS[2][1])], "a string, b string")
+        .select(ngram_jaccard(F.col("a"), F.col("b")).alias("j"))
+        .collect()[0]
+        .j
+    )
+    assert abs(got - exp) < 1e-9
+
+
+def test_simhash_near_duplicates(spark, docs):
+    from osm_pt_validator_spark.operators.dedup import simhash_near_duplicates
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_duplicates(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((1, 6)) == 0
+    assert (1, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(8).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    # 100,101: near-dups of vec 0
+    base = np.array(rows[0][1])
+    rows.append((100, [float(x) for x in base * 2.0]))
+    rows.append((101, [float(x) for x in base + 0.001]))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _py_cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na * nb else 0.0
+
+
+def test_brute_force_topk_vs_oracle(spark, vectors):
+    from osm_pt_validator_spark.operators.similarity import brute_force_topk
+
+    rows, emb = vectors
+    queries = spark.createDataFrame(
+        [(0, rows[0][1])], "query_id long, query_vec array<float>"
+    )
+    got = [
+        (r.vec_id, r.sim)
+        for r in brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    ]
+    sims = sorted(
+        ((round(_py_cos(rows_v, rows[0][1]), 6), vid) for vid, rows_v in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    exp = [(vid, s) for s, vid in sims[:3]]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 2e-6
+
+
+def test_lsh_ann_finds_near_dups(spark, vectors):
+    from osm_pt_validator_spark.operators.similarity import lsh_ann_topk
+
+    rows, emb = vectors
+    queries = spark.createDataFrame(
+        [(0, rows[0][1])], "query_id long, query_vec array<float>"
+    )
+    got = [r.vec_id for r in lsh_ann_topk(emb, queries, dim=8, k=3).orderBy("rank").collect()]
+    # scaled copy (100) has identical hyperplane signs => same bucket
+    assert got[0] == 0
+    assert 100 in got
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    from osm_pt_validator_spark.operators.similarity import cosine_near_dup_pairs
+
+    _, emb = vectors
+    pairs = {(r.vec_a, r.vec_b) for r in cosine_near_dup_pairs(emb, threshold=0.999, dim=8).collect()}
+    assert (0, 100) in pairs
+    assert (0, 101) in pairs
+
+
+def test_multimodal_stub_plumbing(spark):
+    from osm_pt_validator_spark.operators.multimodal import (
+        decode_media,
+        frame_sample,
+        media_metadata,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG....imagebytes"), {}),
+            (2, "video", bytearray(b"\x00\x00\x00 ftypmp42" + b"x" * 500), {}),
+            (3, "audio", bytearray(b"ID3audio"), {}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    meta = {r.media_id: r for r in media_metadata(media).collect()}
+    assert meta[1].magic_hex == "89504E47"
+    d = {r.media_id: r for r in decode_media(media).collect()}
+    assert d[1].width > 0 and d[1].height > 0 and d[1].duration_ms == 0
+    assert d[2].duration_ms > 0 and d[2].width == 0
+    assert len(d[1].features) == 8
+    # determinism
+    d2 = {r.media_id: r for r in decode_media(media).collect()}
+    assert d[1].features == d2[1].features
+    frames = frame_sample(media).collect()
+    assert {r.media_id for r in frames} == {2}
+    assert len(frames) == 8
+
+    import pytest as _pt
+
+    with _pt.raises(Exception) as ei:
+        decode_media(media, require_real=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
