@@ -67,18 +67,22 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined). NB Spark's
-    sequence(1, 0) DESCENDS instead of returning empty, so short texts
-    need the explicit guard."""
+    """Distinct word n-gram shingles (space-joined).
+
+    Built as arrays_zip of n shifted slices + one transform. The naive
+    form — transform(sequence(1, m-n+1), i -> slice(toks, i, n)) — is
+    O(tokens^2) PER ROW: a lambda body referencing the outer `toks`
+    expression re-evaluates the whole tokenise pipeline per element
+    (higher-order functions don't share subexpressions with their
+    enclosing scope). The zip form evaluates each slice once per row.
+    """
     toks = tokens(text)
-    m = F.size(toks)
-    grams = F.when(
-        m >= n,
-        F.transform(
-            F.sequence(F.lit(1), m - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
     return F.array_distinct(grams)
 
 
@@ -153,9 +157,13 @@ def minhash_lsh_pairs(
     # expressions; (2) both sides of the self-join below reuse the SAME
     # shuffle output (ReusedExchange) instead of recomputing the scan.
     sig = minhash_signature_from_hashes(F.col("sh"), num_hashes)
+    # drop docs with NO shingles (the only way sig elements go null)
+    # HERE, on the cheap column — filtering on the signature itself
+    # would let predicate pushdown drag the whole 16-hash expression
+    # through the exchange and re-evaluate it per row in the filter.
     banded = (
-        shingled.select("doc_id", sig.alias("sig"))
-        .filter(~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), F.lit(True)))
+        shingled.filter(F.size("sh") > 0)
+        .select("doc_id", sig.alias("sig"))
         .select(
             "doc_id",
             F.posexplode(

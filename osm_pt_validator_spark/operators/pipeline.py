@@ -28,22 +28,19 @@ from pyspark.sql import functions as F
 
 from osm_pt_validator_spark.config import DEFAULT_CONFIG, ValidationConfig
 from osm_pt_validator_spark.functions.elements import is_ptv2
-from osm_pt_validator_spark.operators.member_order import validate_member_order
 from osm_pt_validator_spark.operators.node_checks import (
     missing_node_errors,
     validate_relation_nodes,
 )
-from osm_pt_validator_spark.operators.node_count import validate_node_count
 from osm_pt_validator_spark.operators.route_master import (
     split_route_master_members,
     validate_route_masters,
 )
-from osm_pt_validator_spark.operators.tags import validate_re_tags
 from osm_pt_validator_spark.operators.way_order import (
     STAGE_ENGINE_ERROR,
     validate_way_and_stop_order,
 )
-from osm_pt_validator_spark.schemas import STAGE_PTV2
+from osm_pt_validator_spark.schemas import STAGE_NODE_COUNT, STAGE_PTV2
 
 MSG_PTV2 = "tag 'public_transport:version' should have value '2'"
 
@@ -76,29 +73,27 @@ def validate_route_relations(
     engine_errors: (relation_id, message) — the reference's Go-error
     channel (load failures), distinct from verdicts.
     """
-    # stage 0: PTv2 short-circuit
+    from osm_pt_validator_spark.operators.set_stages import set_based_verdicts
+
+    # stages 0 + 1 + 2 + 7 fused: ONE projection pass over relations
+    # (separate per-stage branches would re-scan the table per stage)
+    vset = set_based_verdicts(relations, config)
+
     ptv2_ok = relations.filter(is_ptv2(F.col("tags")))
-    ptv2_fail = relations.filter(~is_ptv2(F.col("tags")))
-    v0 = ptv2_fail.select(
-        "relation_id",
-        F.lit(STAGE_PTV2).alias("stage_no"),
-        F.lit(0).cast("long").alias("seq"),
-        F.format_string(
-            "https://www.openstreetmap.org/relation/%d", F.col("relation_id")
-        ).alias("url"),
-        F.lit(MSG_PTV2).alias("message"),
-    )
-
-    v1 = validate_re_tags(ptv2_ok)
-    v2 = validate_member_order(ptv2_ok)
-
     members = explode_members(ptv2_ok)
 
-    # stage 3 + abort set: relations with unresolvable node members
+    # abort set: relations with unresolvable node members skip stages
+    # 3-7 (route_relation.go:29-33) — stages 0-2 survive, so only the
+    # fused pass's stage-7 rows need the exclusion.
     node_errors = missing_node_errors(members, nodes)
     aborted = node_errors.select("relation_id").distinct()
     live_members = members.join(aborted, "relation_id", "left_anti")
-    live_relations = ptv2_ok.join(aborted, "relation_id", "left_anti")
+
+    vset = (
+        vset.join(aborted.withColumn("__ab", F.lit(True)), "relation_id", "left")
+        .filter((F.col("stage_no") != STAGE_NODE_COUNT) | F.col("__ab").isNull())
+        .drop("__ab")
+    )
 
     v3 = validate_relation_nodes(live_members, nodes, config.naptan_platform_tags)
 
@@ -111,9 +106,7 @@ def validate_route_relations(
     )
     v456 = v456.filter(F.col("stage_no") != STAGE_ENGINE_ERROR)
 
-    v7 = validate_node_count(live_relations, config.minimum_node_members)
-
-    verdicts = v0.unionByName(v1).unionByName(v2).unionByName(v3).unionByName(v456).unionByName(v7)
+    verdicts = vset.unionByName(v3).unionByName(v456)
     engine_errors = node_errors.unionByName(way_errors)
     return verdicts, engine_errors
 

@@ -1,0 +1,101 @@
+"""Routes-file source (S7/F6), parent relations (S2), and the
+spark-submit job entry (O4 exit code)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def _write_routes_file(path, config=None):
+    doc = {
+        "config": config or {"naptanPlatformTags": False, "ignoreTraversalDirectionWays": [7]},
+        "routes": {
+            "edinburgh": [
+                {"name": "good", "relation_id": 9001},
+                {"name": "skipme", "relation_id": 9002, "skip": True},
+                {"name": "placeholder", "relation_id": 0},
+            ],
+            "glasgow": [{"name": "bad", "relation_id": 9003}],
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def test_read_routes_files(spark, tmp_path):
+    from osm_pt_validator_spark.sources.routes_file import read_routes_files
+
+    p = tmp_path / "routes.json"
+    _write_routes_file(str(p))
+    df, configs = read_routes_files(spark, str(p))
+    rows = sorted((r.group, r.relation_id) for r in df.collect())
+    # skip=true and relation_id=0 filtered (F6)
+    assert rows == [("edinburgh", 9001), ("glasgow", 9003)]
+    cfg = configs[str(p)]
+    assert cfg.ignore_traversal_direction_ways == (7,)
+    assert not cfg.naptan_platform_tags
+
+
+def test_parent_relations(spark):
+    from osm_pt_validator_spark.fixtures import member, relation_row, relations_df
+    from osm_pt_validator_spark.sources.routes_file import parent_relations
+
+    rels = relations_df(
+        spark,
+        [
+            relation_row(1, [member("relation", 10), member("relation", 11)], {"type": "route_master"}),
+            relation_row(10, [member("way", 5)], {"type": "route"}),
+        ],
+    )
+    got = sorted((r.relation_id, r.parent_relation_id) for r in parent_relations(rels).collect())
+    assert got == [(10, 1), (11, 1)]
+
+
+def test_job_end_to_end(spark, tmp_path):
+    from osm_pt_validator_spark.fixtures import (
+        node_rows,
+        relation_row,
+        route_tags,
+        stop_members,
+        way_members,
+        way_rows,
+    )
+    from osm_pt_validator_spark.jobs import main
+    from osm_pt_validator_spark.schemas import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+
+    tables = tmp_path / "tables"
+    os.makedirs(tables)
+    spark.createDataFrame(node_rows(), NODE_SCHEMA).write.parquet(str(tables / "nodes.parquet"))
+    spark.createDataFrame(way_rows(), WAY_SCHEMA).write.parquet(str(tables / "ways.parquet"))
+    rels = [
+        relation_row(9001, stop_members(102, 104) + way_members(3, 4), route_tags()),
+        relation_row(9002, stop_members(100, 102) + way_members(1, 3), route_tags()),  # skipped
+        relation_row(9003, stop_members(107, 110) + way_members(5, 7), route_tags()),  # oneway bad... but ignored by config
+    ]
+    spark.createDataFrame(rels, RELATION_SCHEMA).write.parquet(str(tables / "relations.parquet"))
+    routes = tmp_path / "routes.json"
+    _write_routes_file(str(routes))
+
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--tables", str(tables), "--routes", str(routes),
+            "--out", str(out), "--cpus", "4",
+        ]
+    )
+    # 9001 valid; 9002 skipped; 9003's oneway violation is exempted by
+    # the routes-file config ignore list => exit 0
+    assert rc == 0
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    assert verdicts.count() == 0
+
+    # single-relation mode against a gap route: exit 1
+    out2 = tmp_path / "out2"
+    rc2 = main(
+        ["--tables", str(tables), "--out", str(out2), "--relation-id", "9002", "--cpus", "4"]
+    )
+    assert rc2 == 1
+    v2 = spark.read.parquet(str(out2 / "verdicts"))
+    msgs = sorted(r.message for r in v2.collect())
+    assert "ways are incorrectly ordered" in msgs
