@@ -72,12 +72,21 @@ def ensure_py_files(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     zpath = os.path.join(root, ".osm_pt_validator_spark.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.relpath(full, root)
-                        z.write(full, rel)
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                sources.append(os.path.join(dirpath, fn))
+    # A stale zip silently shadows the live source on executors
+    # (unpickling then fails with "Can't get attribute ..."), so rebuild
+    # whenever any module is newer than the archive.
+    stale = not os.path.exists(zpath) or any(
+        os.path.getmtime(p) >= os.path.getmtime(zpath) for p in sources
+    )
+    if stale:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
