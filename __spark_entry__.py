@@ -974,6 +974,64 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_cosine_pairs(spark, sf):
+    """Embedding-cosine near-dup, brute-force baseline (all pairs above
+    threshold) — exact counterpart of the LSH-bucketed scale path."""
+    from osm_pt_validator_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm")
+        )
+    )
+
+
+SQL_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+      THEN list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      ELSE 0.0 END, 6) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(round(sim * 1e6) AS BIGINT) AS sim_ppm
+FROM sims WHERE sim >= 0.35
+"""
+
+
+# G1+G2 replicated in SQL: same <p>…</p> extraction (non-DOTALL regex,
+# paragraphs joined by \n) and the same mention grammar, so the oracle
+# checks the full extract pipeline value-for-value.
+SQL_MENTIONS = r"""
+WITH pages AS (
+  SELECT printf('https://pages.example.org/doc/%d', doc_id) AS url,
+         '<html><body><p>' || text || '</p><p>' ||
+         printf('STOP:%d@55.9500,-3.1900 ROUTE:%d', doc_id % 50 + 100, doc_id) ||
+         '</p></body></html>' AS html
+  FROM documents),
+txt AS (
+  SELECT url,
+    list_aggregate(regexp_extract_all(html, '<p>(.*?)</p>', 1), 'string_agg', chr(10)) AS text
+  FROM pages),
+m AS (
+  SELECT url,
+    regexp_extract_all(text, '(STOP|ROUTE):(\d+)(?:@(-?\d+\.\d+),(-?\d+\.\d+))?', 1) AS kinds,
+    regexp_extract_all(text, '(STOP|ROUTE):(\d+)(?:@(-?\d+\.\d+),(-?\d+\.\d+))?', 2) AS ids
+  FROM txt)
+SELECT url, CAST(i - 1 AS INT) AS mention_idx, lower(kinds[i]) AS kind,
+       CAST(ids[i] AS BIGINT) AS entity_id
+FROM m, UNNEST(range(1, len(kinds) + 1)) AS t(i)
+"""
+
+
 # --- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -1146,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "embedding_topk": wrap(q_embedding_topk),
+        "cosine_pairs": wrap(q_cosine_pairs),
         # rows-only (non-SQL-expressible)
         "way_order_verdicts": wrap(q_way_order_verdicts),
         "validate_pipeline": wrap(q_validate_pipeline),
@@ -1180,4 +1239,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "cosine_pairs": SQL_COSINE_PAIRS,
+        "mentions_extract": SQL_MENTIONS,
     }

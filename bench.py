@@ -78,6 +78,9 @@ def bench_extract_mentions(spark, sf_dir):
 
 _N_RELS = 100_000
 _WAYS_PER_REL = 8
+# fixed so the synthetic scans have the same partitioning at every
+# parallelism level (scaling_bench compares identical plans)
+_N_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "64"))
 
 
 def _synth_osm(spark):
@@ -85,7 +88,7 @@ def _synth_osm(spark):
     [w, w+1]); every 13th way reversed (oneway violations), every 7th
     tagged oneway=yes. Relation r: 2 stops + ways r*4+1 .. r*4+8."""
     n_ways = _N_RELS * 4 + _WAYS_PER_REL + 1
-    ways = spark.range(1, n_ways).select(
+    ways = spark.range(1, n_ways, 1, numPartitions=_N_PARTS).select(
         F.col("id").alias("way_id"),
         F.lit(1).alias("version"),
         F.when(
@@ -95,7 +98,7 @@ def _synth_osm(spark):
             F.col("id") % 7 == 0, F.create_map(F.lit("oneway"), F.lit("yes"))
         ).otherwise(F.create_map().cast("map<string,string>")).alias("tags"),
     )
-    nodes = spark.range(1, n_ways + 2).select(
+    nodes = spark.range(1, n_ways + 2, 1, numPartitions=_N_PARTS).select(
         F.col("id").alias("node_id"),
         (55.0 + (F.col("id") % 100000) * 1e-5).alias("lat"),
         (-3.0 + (F.col("id") % 100000) * 1e-5).alias("lon"),
@@ -121,7 +124,7 @@ def _synth_osm(spark):
             F.lit("way").alias("type"), w.alias("ref"), F.lit("").alias("role")
         ),
     )
-    relations = spark.range(0, _N_RELS).select(
+    relations = spark.range(0, _N_RELS, 1, numPartitions=_N_PARTS).select(
         (F.col("id") + 1).alias("relation_id"),
         F.lit(1).alias("version"),
         F.concat(stops, way_ms).alias("members"),

@@ -308,7 +308,11 @@ def route_detail(
     way_members = (
         members.filter((F.col("type") == "way") & (F.col("role") == ""))
         .select("relation_id", "member_idx", "ref")
-        .join(ways, F.col("ref") == F.col("way_id"), "left")
+        # SHUFFLE_HASH: sort-merge would sort both sides on way_id, and
+        # the probe rows carry node arrays — hashing the ways build side
+        # skips both sorts. (Catalyst still upgrades to broadcast when
+        # the ways dim is small enough.)
+        .join(ways.hint("SHUFFLE_HASH"), F.col("ref") == F.col("way_id"), "left")
         .select(
             "relation_id",
             "member_idx",

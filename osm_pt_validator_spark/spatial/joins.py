@@ -64,6 +64,7 @@ def salted_equi_join(
     hot: DataFrame | None = None,
     hot_threshold: int = 1_000_000,
     probe_salt_col: str | None = None,
+    shuffle_hash: bool = True,
 ) -> DataFrame:
     """Skew-safe inner equi-join on `key`.
 
@@ -75,6 +76,17 @@ def salted_equi_join(
     The salt source defaults to a deterministic hash of all probe
     columns; pass `probe_salt_col` (e.g. 'url') for a stable identity
     column — required for reproducible lineage.
+
+    `shuffle_hash` (default) hints SHUFFLE_HASH on the build side:
+    after salting, per-partition build slices are small by construction,
+    so hashing the build beats sort-merge's O(n log n) sort of the
+    (huge) probe side. Disable if the build side can be large per
+    partition.
+
+    NB when `hot` (or the default probe-frequency estimate) derives
+    from `probe` and `probe` is itself an expensive pipeline (e.g.
+    freshly-extracted mentions), persist `probe` first — otherwise the
+    hot-key scan and the join each recompute it.
     """
     if hot is None:
         hot = hot_keys(probe, key, hot_threshold)
@@ -109,4 +121,6 @@ def salted_equi_join(
         .withColumn("__salt", F.explode("__salts"))
         .drop("__salts")
     )
+    if shuffle_hash:
+        b = b.hint("SHUFFLE_HASH")
     return p.join(b, [key, "__salt"], "inner").drop("__salt")
