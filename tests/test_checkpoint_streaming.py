@@ -96,3 +96,38 @@ def test_streaming_tile_heatmap(spark, tmp_path):
     assert len(out) == 3
     edin = [r for r in out if r.n == 2]
     assert len(edin) == 1 and edin[0].window_start == dt.datetime(2026, 1, 1, 10, 0)
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a url emitted in micro-batch 1 must be
+    suppressed in micro-batch 2 (state survives batches)."""
+    from osm_pt_validator_spark.streaming.dedup import streaming_first_seen
+
+    src = str(tmp_path / "pages_stream")
+    os.makedirs(src, exist_ok=True)
+    schema = "url string, text string"
+    spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u1", "a-dup-same-batch")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    spark.createDataFrame(
+        [("u1", "a-dup-later-batch"), ("u3", "c")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "batch2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force >=2 micro-batches
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_first_seen(stream, "url")
+        .writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.url: r.text for r in spark.sql("select * from first_seen_test").collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert out["u2"] == "b" and out["u3"] == "c"
+    assert out["u1"] in ("a", "a-dup-same-batch")  # first file wins; intra-batch order is one row
