@@ -1032,6 +1032,92 @@ FROM m, UNNEST(range(1, len(kinds) + 1)) AS t(i)
 """
 
 
+def q_pipeline_heatmap(spark, sf):
+    """Flagship end-to-end chain, fully oracle-checked: synthesize
+    pages from documents -> G1 html->text (Arrow UDF) -> G2 mention
+    extraction -> G3 cell encode -> G4 cell equi-join vs a stops dim
+    -> G8 web-mercator tile heatmap. The coordinates round-trip through
+    the formatted page text (%.4f) so the oracle replays the exact
+    string-parse path, not just the arithmetic."""
+    from osm_pt_validator_spark.functions.geo import cell
+    from osm_pt_validator_spark.sources.pages import extract_mentions
+    from osm_pt_validator_spark.spatial.tiles import tile_x, tile_y
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.format_string("https://pages.example.org/doc/%d", "doc_id").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.format_string(
+                "<html><body><p>%s</p><p>STOP:%d@%.4f,%.4f</p></body></html>",
+                F.col("text"),
+                F.col("doc_id") % 50 + 100,
+                55.9 + (F.col("doc_id") % 50) * 0.01,
+                -3.3 + (F.col("doc_id") % 40) * 0.01,
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    m = extract_mentions(pages, from_html=True).filter(F.col("kind") == "stop")
+    m = m.withColumn("cell", cell(F.col("lat"), F.col("lon"), 14))
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("stop_id"),
+        cell(
+            55.9 + (F.col("s_suppkey") % 50) * 0.01,
+            -3.3 + (F.col("s_suppkey") % 40) * 0.01,
+            14,
+        ).alias("cell"),
+    )
+    joined = m.join(s, "cell")
+    return (
+        joined.groupBy(
+            tile_x(F.col("lon"), 12).alias("tile_x"),
+            tile_y(F.col("lat"), 12).alias("tile_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("stop_id").alias("n_stops"),
+        )
+        .select("tile_x", "tile_y", "n", "n_stops")
+    )
+
+
+def _sql_pipeline_heatmap() -> str:
+    mention_re = r"(STOP|ROUTE):(\d+)(?:@(-?\d+\.\d+),(-?\d+\.\d+))?"
+    cell_m = _sql_cell("lat", "lon", 14)
+    cell_s = _sql_cell("55.9 + (s_suppkey % 50) * 0.01", "-3.3 + (s_suppkey % 40) * 0.01", 14)
+    return f"""
+WITH pages AS (
+  SELECT printf('https://pages.example.org/doc/%d', doc_id) AS url,
+         '<html><body><p>' || text || '</p><p>' ||
+         printf('STOP:%d@%.4f,%.4f', doc_id % 50 + 100,
+                55.9 + (doc_id % 50) * 0.01, -3.3 + (doc_id % 40) * 0.01) ||
+         '</p></body></html>' AS html
+  FROM documents),
+txt AS (
+  SELECT url,
+    list_aggregate(regexp_extract_all(html, '<p>(.*?)</p>', 1), 'string_agg', chr(10)) AS text
+  FROM pages),
+raw AS (
+  SELECT url,
+    regexp_extract_all(text, '{mention_re}', 1) AS kinds,
+    regexp_extract_all(text, '{mention_re}', 3) AS lats,
+    regexp_extract_all(text, '{mention_re}', 4) AS lons
+  FROM txt),
+m AS (
+  SELECT url, CAST(lats[i] AS DOUBLE) AS lat, CAST(lons[i] AS DOUBLE) AS lon
+  FROM raw, UNNEST(range(1, len(kinds) + 1)) AS t(i)
+  WHERE lower(kinds[i]) = 'stop'),
+mc AS (SELECT url, lat, lon, {cell_m} AS cell FROM m),
+s AS (SELECT s_suppkey AS stop_id, {cell_s} AS cell FROM supplier)
+SELECT {_sql_tile_x("lon", 12)} AS tile_x, {_sql_tile_y("lat", 12)} AS tile_y,
+  COUNT(*) AS n, COUNT(DISTINCT stop_id) AS n_stops
+FROM mc JOIN s USING (cell)
+GROUP BY 1, 2
+"""
+
+
 # --- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -1205,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "embedding_topk": wrap(q_embedding_topk),
         "cosine_pairs": wrap(q_cosine_pairs),
+        "pipeline_heatmap": wrap(q_pipeline_heatmap),
         # rows-only (non-SQL-expressible)
         "way_order_verdicts": wrap(q_way_order_verdicts),
         "validate_pipeline": wrap(q_validate_pipeline),
@@ -1241,4 +1328,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "cosine_pairs": SQL_COSINE_PAIRS,
         "mentions_extract": SQL_MENTIONS,
+        "pipeline_heatmap": _sql_pipeline_heatmap(),
     }

@@ -186,9 +186,12 @@ def bench_knn(spark, sf_dir):
         (55.9 + ((F.col("s_suppkey") * 7) % 97) * 0.00097).alias("lat"),
         (-3.3 + ((F.col("s_suppkey") * 11) % 89) * 0.00103).alias("lon"),
     )
+    # res=13 (~0.022 deg cells): the ~0.1 deg point box spans ~20 cells,
+    # so candidates stay local. (res=8 put the whole box in ONE cell —
+    # a single join key, i.e. a full cross join through one partition.)
     return {
         "knn_rows": knn_join(
-            c, s, probe_key="c_custkey", build_key="stop_id", k=2, ring=1, res=8
+            c, s, probe_key="c_custkey", build_key="stop_id", k=2, ring=1, res=13
         ).count()
     }
 
