@@ -1234,6 +1234,48 @@ def q_media_decode(spark, sf):
     )
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF coarse-quantizer ANN (inverted lists by centroid; hash-class
+    centroids use xxhash64 — no DuckDB equivalent, rows-only)."""
+    from osm_pt_validator_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_ann_topk(e, queries, k=5, num_centroids=8, nprobe=3).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_verdict_heatmap(spark, sf):
+    """North-star failure heatmap: validation verdicts located at their
+    stop coordinates -> z=15 tiles (verdicts from the sequential
+    automaton — rows-only)."""
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.fixtures import (
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+    from osm_pt_validator_spark.operators.pipeline import validate_route_relations
+    from osm_pt_validator_spark.spatial.tiles import verdict_failure_heatmap
+
+    rows = [
+        # stop 104 unreachable before 102 -> stop-order verdicts at nodes
+        relation_row(1, stop_members(104, 102) + way_members(3, 4), route_tags()),
+        relation_row(2, stop_members(106, 100) + way_members(1, 2), route_tags()),
+    ]
+    verdicts, _ = validate_route_relations(
+        relations_df(spark, rows), nodes_df(spark), ways_df(spark), ValidationConfig()
+    )
+    return verdict_failure_heatmap(verdicts, nodes_df(spark), z=15)
+
+
 def q_mentions_extract(spark, sf):
     """G1+G2 over pages synthesized from documents (Arrow UDF path)."""
     from osm_pt_validator_spark.sources.pages import extract_mentions
@@ -1298,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_contained": wrap(q_pip_contained),
         "simhash_pairs": wrap(q_simhash_pairs),
         "lsh_ann_topk": wrap(q_lsh_ann_topk),
+        "ivf_ann_topk": wrap(q_ivf_ann_topk),
+        "verdict_heatmap": wrap(q_verdict_heatmap),
         "media_decode": wrap(q_media_decode),
         "mentions_extract": wrap(q_mentions_extract),
     }

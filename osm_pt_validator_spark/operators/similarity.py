@@ -144,3 +144,111 @@ def cosine_near_dup_pairs(
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index) — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine).
+
+    centroids: (centroid_id, centroid_vec) — small, broadcast. One
+    pass: broadcast cross join + rank window on the vector id, so the
+    big side never shuffles on data volume (only on the tiny per-vector
+    candidate set for the window). Output: (id, vec, centroid_id).
+    """
+    c = broadcast(centroids.select("centroid_id", "centroid_vec"))
+    sim = cosine(F.col(vec_col), F.col("centroid_vec"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(c)
+        .withColumn("__csim", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def deterministic_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer without iterative k-means: centroid c = the
+    element-wise mean of the vectors whose xxhash64(id) lands in
+    residue class c. Deterministic, one aggregation pass, and at scale
+    a perfectly serviceable IVF quantizer (k-means would sharpen the
+    cells but not change the plan shape). Output: (centroid_id,
+    centroid_vec ARRAY<DOUBLE>)."""
+    cls = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_centroids)).alias("centroid_id")
+    exploded = embeddings.select(
+        cls, F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    return (
+        exploded.groupBy("centroid_id", "dim")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("dm"))
+        .select(
+            "centroid_id",
+            F.transform(F.col("dm"), lambda s: s["mx"]).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: probe the `nprobe` nearest centroid cells per query,
+    exact cosine re-rank within them.
+
+    Scale shape: the index side is partitioned by centroid_id (the
+    inverted lists); each query touches nprobe/num_centroids of the
+    data. The centroid table is tiny and broadcast twice (assignment +
+    probe selection). Output: (query_id, vec_id, sim, rank).
+    """
+    cents = deterministic_centroids(embeddings, num_centroids, id_col, vec_col)
+    indexed = ivf_assign(embeddings, cents, id_col, vec_col)
+
+    qsim = cosine(F.col(query_vec_col), F.col("centroid_vec"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(broadcast(cents))
+        .withColumn("__csim", qsim)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+
+    joined = indexed.join(broadcast(probes), "centroid_id")
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -28,3 +28,26 @@ def failure_heatmap(points: DataFrame, z: int, lat: str = "lat", lon: str = "lon
         .groupBy("tile_z", "tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def verdict_failure_heatmap(
+    verdicts: DataFrame, nodes: DataFrame, z: int
+) -> DataFrame:
+    """North-star heatmap: validation failures located at the stop
+    coordinates embedded in their verdict URLs.
+
+    Verdict messages carry the canonical element URL
+    (https://www.openstreetmap.org/node/<id>); node-shaped URLs are
+    parsed back to ids, joined to the nodes dim (broadcast when small),
+    and tiled. Way-shaped verdicts have no point geometry and are
+    excluded (corridor-level rollups use PIP, spatial/pip.py).
+    """
+    node_id = F.regexp_extract(
+        F.col("url"), r"https://www\.openstreetmap\.org/node/(\d+)", 1
+    )
+    located = (
+        verdicts.filter(node_id != "")
+        .withColumn("node_id", node_id.cast("long"))
+        .join(nodes.select("node_id", "lat", "lon"), "node_id")
+    )
+    return failure_heatmap(located, z)

@@ -191,3 +191,73 @@ def test_multimodal_stub_plumbing(spark):
     with _pt.raises(Exception) as ei:
         decode_media(media, require_real=True).collect()
     assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
+
+
+def test_ivf_ann_topk_vs_brute_force(spark, sf001):
+    """IVF with nprobe=all centroids must EQUAL brute force (every cell
+    probed => exact); with nprobe<C it returns a subset ranked the same
+    way."""
+    from osm_pt_validator_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(e, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_ann_topk(
+            e, queries, k=3, num_centroids=4, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+
+    # nprobe < C: approximate — each query still yields exactly k rows,
+    # deterministically, with sims monotone in rank
+    approx = ivf_ann_topk(e, queries, k=3, num_centroids=4, nprobe=1).collect()
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.sim, r.vec_id))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    again = ivf_ann_topk(e, queries, k=3, num_centroids=4, nprobe=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
+def test_verdict_failure_heatmap(spark):
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.fixtures import (
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+    from osm_pt_validator_spark.operators.pipeline import validate_route_relations
+    from osm_pt_validator_spark.spatial.tiles import verdict_failure_heatmap
+
+    # stops listed in reverse traversal order -> "stop is incorrectly
+    # ordered" verdict anchored at a node URL with fixture coordinates
+    rels = relations_df(
+        spark,
+        [relation_row(1, stop_members(104, 102) + way_members(3, 4), route_tags())],
+    )
+    verdicts, _ = validate_route_relations(
+        rels, nodes_df(spark), ways_df(spark), ValidationConfig()
+    )
+    node_verdicts = verdicts.filter(verdicts.url.contains("/node/")).count()
+    hm = verdict_failure_heatmap(verdicts, nodes_df(spark), z=15).collect()
+    assert sum(r.n for r in hm) == node_verdicts > 0
+    assert all(r.tile_z == 15 for r in hm)
