@@ -18,6 +18,15 @@ conformant upstream extractor):
 Scale notes: both operators are per-row-independent map work — no
 shuffle, pipelined with the parquet/Iceberg scan; column pruning means
 the (huge) html column is only read when G1 actually runs.
+
+Measured (sf0.1, 600k pages, 8 pinned cores): the Arrow path beats the
+pure-JVM alternative — G2 via pandas ``extractall`` 8.8 s vs 16.6 s for
+``regexp_extract_all``×4-groups + ``arrays_zip`` + ``posexplode`` (the
+JVM evaluates the regex once per group and regex exec doesn't codegen),
+and G1 ties JVM ``array_join(regexp_extract_all(...))`` (5.2 vs
+5.9 s) while also demonstrating the mandated BINARY→STRING Arrow
+boundary. Byte-identity of the two G1 paths is what makes the DuckDB
+oracle able to replay extraction in SQL.
 """
 
 from __future__ import annotations
