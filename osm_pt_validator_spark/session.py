@@ -70,6 +70,10 @@ def ensure_py_files(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported from an archive (spark-submit --py-files):
+        # the zip is on every node's path; nothing to build or ship
+        return
     root = os.path.dirname(pkg_dir)
     zpath = os.path.join(root, ".osm_pt_validator_spark.zip")
     sources = []

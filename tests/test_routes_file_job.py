@@ -99,3 +99,61 @@ def test_job_end_to_end(spark, tmp_path):
     v2 = spark.read.parquet(str(out2 / "verdicts"))
     msgs = sorted(r.message for r in v2.collect())
     assert "ways are incorrectly ordered" in msgs
+
+
+def test_spark_submit_py_files(spark, tmp_path):
+    """North-rule deployment path: the job runs under a REAL
+    `spark-submit --py-files <zip>` subprocess (fresh JVM, package
+    imported from the shipped zip on driver and executors), writes the
+    checkpointed verdict tables, and exits 1 when verdicts exist."""
+    import shutil
+    import subprocess
+    import sys
+
+    from osm_pt_validator_spark.fixtures import (
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tables = tmp_path / "tables"
+    out = tmp_path / "out"
+    nodes_df(spark).write.parquet(str(tables / "nodes.parquet"))
+    ways_df(spark).write.parquet(str(tables / "ways.parquet"))
+    relations_df(
+        spark,
+        [
+            relation_row(1, stop_members(102, 104) + way_members(3, 4), route_tags()),
+            relation_row(2, stop_members(100, 102) + way_members(1, 3), route_tags()),
+        ],
+    ).write.parquet(str(tables / "relations.parquet"))
+
+    zpath = os.path.join(repo, ".osm_pt_validator_spark.zip")
+    assert os.path.exists(zpath)  # built by ensure_py_files in conftest session
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zpath,
+            os.path.join(repo, "osm_pt_validator_spark", "jobs.py"),
+            "--tables", str(tables),
+            "--out", str(out),
+            "--cpus", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
+    )
+    assert proc.returncode == 1, proc.stderr[-3000:]  # relation 2 has a gap
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    assert verdicts.filter(verdicts.relation_id == 2).count() > 0
+    assert verdicts.filter(verdicts.relation_id == 1).count() == 0
