@@ -12,9 +12,12 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 
 @pytest.fixture(scope="session")
 def spark():
-    from osm_pt_validator_spark.session import get_spark
+    from osm_pt_validator_spark.session import ensure_py_files, get_spark
 
     s = get_spark("osm-pt-validator-tests", cores=4, shuffle_partitions=4)
+    # builds/refreshes the executor py-files zip (also required by the
+    # spark-submit deployment test on a fresh checkout)
+    ensure_py_files(s)
     yield s
     s.stop()
 
