@@ -305,40 +305,44 @@ def route_detail(
         instead of vanishing (way_order.go:25-30 parity).
       * stops need no join — they carry only the ref.
     """
-    way_members = (
-        members.filter((F.col("type") == "way") & (F.col("role") == ""))
-        .select("relation_id", "member_idx", "ref")
-        # SHUFFLE_HASH: sort-merge would sort both sides on way_id, and
-        # the probe rows carry node arrays — hashing the ways build side
-        # skips both sorts. (Catalyst still upgrades to broadcast when
-        # the ways dim is small enough.)
-        .join(ways.hint("SHUFFLE_HASH"), F.col("ref") == F.col("way_id"), "left")
+    is_way = (F.col("type") == "way") & (F.col("role") == "")
+    is_stop = (F.col("type") == "node") & is_stop_role(F.col("role"))
+    # ONE pass over the exploded members (a union of separate way/stop
+    # branches would scan + explode the relations table twice — 2x the
+    # read at 100 TB). The ways join keys on ref=way_id with the
+    # kind='way' predicate folded into the join condition, so stop rows
+    # null-extend even if a node ref collides with a way id.
+    # SHUFFLE_HASH: sort-merge would sort both sides on way_id, and the
+    # build rows carry node arrays — hashing the ways build side skips
+    # both sorts. (Catalyst still upgrades to broadcast when the ways
+    # dim is small enough.)
+    return (
+        members.filter(is_way | is_stop)
         .select(
             "relation_id",
             "member_idx",
-            F.lit("way").alias("kind"),
+            F.when(F.col("type") == "way", F.lit("way")).otherwise(F.lit("stop")).alias("kind"),
+            "ref",
+        )
+        .join(
+            ways.hint("SHUFFLE_HASH"),
+            (F.col("ref") == F.col("way_id")) & (F.col("kind") == "way"),
+            "left",
+        )
+        .select(
+            "relation_id",
+            "member_idx",
+            "kind",
             "ref",
             "nodes",
-            oneway_tag(F.col("tags")).alias("oneway"),
+            F.when(F.col("kind") == "way", oneway_tag(F.col("tags"))).alias("oneway"),
             (
-                F.col("ref").isin([int(w) for w in ignore_ways])
+                ((F.col("kind") == "way") & F.col("ref").isin([int(w) for w in ignore_ways]))
                 if ignore_ways
                 else F.lit(False)
             ).alias("ignore_oneway"),
         )
     )
-    stop_members = members.filter(
-        (F.col("type") == "node") & is_stop_role(F.col("role"))
-    ).select(
-        "relation_id",
-        "member_idx",
-        F.lit("stop").alias("kind"),
-        "ref",
-        F.lit(None).cast(T.ArrayType(T.LongType())).alias("nodes"),
-        F.lit(None).cast(T.StringType()).alias("oneway"),
-        F.lit(False).alias("ignore_oneway"),
-    )
-    return way_members.unionByName(stop_members)
 
 
 def _validate_rows(batches):
