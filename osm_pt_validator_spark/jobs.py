@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
             "left_semi",
         )
 
+    # validate_all fans relations into several branches (routes /
+    # masters / unknown / master-member join) — persist so the filtered
+    # work-set is scanned once, not once per branch
+    from pyspark.storagelevel import StorageLevel
+
+    relations = relations.persist(StorageLevel.MEMORY_AND_DISK)
+
     def _validate():
         verdicts, errors = validate_all(relations, nodes, ways, config)
         return verdicts

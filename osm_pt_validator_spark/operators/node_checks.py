@@ -34,7 +34,9 @@ def _checked_node_members(members: DataFrame, nodes: DataFrame) -> DataFrame:
         (F.col("type") == "node")
         & (is_stop_role(F.col("role")) | is_platform_role(F.col("role")))
     )
-    return nm.join(nodes, nm["ref"] == nodes["node_id"], "left")
+    # hash the nodes build side (tags maps make sort-merge's sorts
+    # expensive); Catalyst upgrades to broadcast when the dim is small
+    return nm.join(nodes.hint("SHUFFLE_HASH"), nm["ref"] == nodes["node_id"], "left")
 
 
 def missing_node_errors(members: DataFrame, nodes: DataFrame) -> DataFrame:
