@@ -64,7 +64,14 @@ def _run_level(cpus: int) -> dict:
         capture_output=True,
         text=True,
         cwd=_REPO,
-        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+        env={
+            **os.environ,
+            "SPARK_GRAFT_CPUS": str(cpus),
+            # the single local JVM hosts every concurrent ShuffledHashJoin
+            # build; 8g leaves the 600k-relation ways build short of its
+            # 512MB acquisitions under 64-partition x N-task concurrency
+            "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        },
         preexec_fn=lambda: os.sched_setaffinity(0, range(cpus)),
         timeout=1800,
     )
