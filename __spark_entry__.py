@@ -240,11 +240,14 @@ def q_pricing_summary(spark, sf):
     )
 
 
+# DuckDB SUM(BIGINT) returns HUGEINT (int128) which pandas/Arrow
+# materializes as float64, breaking the driver's value hash against
+# Spark's LongType — every SUM must be wrapped in CAST(... AS BIGINT).
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY 1, 2
 """
@@ -265,7 +268,7 @@ def q_top_customers(spark, sf):
 
 SQL_TOP_CUSTOMERS = """
 SELECT c_custkey, c_name, n_name,
-  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_c,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
   COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -287,7 +290,7 @@ def q_part_brand_stats(spark, sf):
 
 SQL_PART_BRAND = """
 SELECT p_brand, COUNT(*) AS n_items,
-  SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
@@ -330,7 +333,7 @@ def q_events_hourly(spark, sf):
 
 SQL_EVENTS_HOURLY = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
-  COUNT(*) AS n, SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_c
+  COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2
 """
 
@@ -603,6 +606,29 @@ LEFT JOIN t psv ON psv.way_id = w.way_id AND psv.k = 'oneway:psv'
 LEFT JOIN t bus ON bus.way_id = w.way_id AND bus.k = 'oneway:bus'
 LEFT JOIN t ow ON ow.way_id = w.way_id AND ow.k = 'oneway'
 LEFT JOIN t j ON j.way_id = w.way_id AND j.k = 'junction'
+"""
+
+
+S2_MEMBERS: list[tuple[int, int, str, int, str]] = [
+    (701, 0, "relation", 801, ""), (701, 1, "way", 5, ""),
+    (702, 0, "relation", 801, ""), (702, 1, "relation", 802, ""),
+    (703, 0, "node", 9, "stop"),
+]
+
+
+def q_parent_relations(spark, sf):
+    """S2 GetRelationRelations (osm.go:82-114) as the reversed
+    member->parent edge list."""
+    from osm_pt_validator_spark.sources.routes_file import parent_relations
+
+    return parent_relations(_rels_from_members(spark, S2_MEMBERS))
+
+
+SQL_PARENT_RELATIONS = f"""
+WITH m(relation_id, member_idx, type, ref, role) AS (VALUES {_values(S2_MEMBERS)})
+SELECT CAST(ref AS BIGINT) AS relation_id,
+  CAST(m.relation_id AS BIGINT) AS parent_relation_id
+FROM m WHERE type = 'relation'
 """
 
 
@@ -1197,12 +1223,80 @@ def q_pip_contained(spark, sf):
     return points_in_polygons(c, polygons, res=10).select("polygon_id", "point_id")
 
 
+def _sql_simhash() -> str:
+    """Replays the SimHash path bit-for-bit: token hash = first 8 md5
+    bytes big-endian (= first 16 hex chars as UBIGINT), ±1 votes per
+    bit, sig bit set iff vote sum > 0, then the same 4×16-bit chunk
+    candidate join + hamming verify. All arithmetic stays unsigned in
+    DuckDB; Spark's signed shiftright+mask reads the same bit fields."""
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+bits AS (SELECT unnest(range(64)) AS b),
+votes AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN bits GROUP BY 1, 2),
+sig0 AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+  FROM votes GROUP BY 1),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+  FROM d LEFT JOIN sig0 s USING (doc_id)),
+chunks AS (
+  SELECT doc_id, sig, c AS chunk_idx, (sig >> (16*c)) & 65535 AS chunk
+  FROM sigs, UNNEST(range(4)) AS t(c)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, a.sig AS sa, b2.sig AS sb
+  FROM chunks a
+  JOIN chunks b2 ON a.chunk_idx = b2.chunk_idx AND a.chunk = b2.chunk
+                AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
 def q_simhash_pairs(spark, sf):
     from osm_pt_validator_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=8).select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+def _sql_lsh_ann() -> str:
+    """Replays hyperplane_bucket exactly: the SAME driver-computed
+    sin() literals are rendered here, and both engines fold the dot
+    product left-to-right, so buckets (and therefore candidates and
+    ranks) agree bit-for-bit."""
+    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
+
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
+        for m, plane in enumerate(hyperplane_coeffs(64, 6))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {terms} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+sims AS (
+  SELECT q.query_id, b.vec_id,
+    round(CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+      THEN list_dot_product(b.v, q.qv) /
+           (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+      ELSE 0.0 END, 6) AS sim
+  FROM b JOIN q USING (bucket)),
+ranked AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_lsh_ann_topk(spark, sf):
@@ -1217,9 +1311,29 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+SQL_MEDIA_DECODE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    text, md5(text) AS h
+  FROM documents)
+SELECT media_id, kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN kind = 'image'
+       THEN 16 + ('0x' || substr(h, 1, 2))::INT % 240 ELSE 0 END AS INT) AS width,
+  CAST(CASE WHEN kind = 'image'
+       THEN 16 + ('0x' || substr(h, 3, 2))::INT % 240 ELSE 0 END AS INT) AS height,
+  CAST(CASE WHEN kind IN ('audio', 'video')
+       THEN 100 + ('0x' || substr(h, 5, 4))::INT % 60000 ELSE 0 END AS INT) AS duration_ms
+FROM media
+"""
+
+
 def q_media_decode(spark, sf):
-    """Multimodal plumbing over synthesized binary payloads (decode is
-    the documented deterministic stub — no SQL oracle)."""
+    """Multimodal plumbing over synthesized binary payloads. The decode
+    is the documented deterministic stub (md5-derived), which makes it
+    SQL-replayable: the oracle recomputes width/height/duration from
+    md5(text) — so the whole mapInPandas plumbing is value-checked."""
     from osm_pt_validator_spark.operators.multimodal import decode_media
 
     media = _t(spark, sf, "documents").select(
@@ -1234,9 +1348,58 @@ def q_media_decode(spark, sf):
     )
 
 
+def _sql_ivf_ann() -> str:
+    """Full IVF replay: md5-class centroids (element-wise AVG per
+    residue class), nearest-centroid assignment, nprobe=3 probe cells,
+    exact cosine re-rank (rounded 6dp before ranking, ties by vec_id —
+    the same determinism contract as the Spark plan)."""
+    cos = (
+        "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+        "THEN list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cls AS (
+  SELECT vec_id, v,
+    ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS cid
+  FROM e),
+cdim AS (
+  SELECT cid, i AS dim, AVG(v[i]) AS mx
+  FROM cls, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2),
+cents AS (SELECT cid, list(mx ORDER BY dim) AS cv FROM cdim GROUP BY 1),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT cls.vec_id, cls.v, cents.cid,
+      row_number() OVER (PARTITION BY cls.vec_id
+        ORDER BY {cos.format(a="cls.v", b="cents.cv")} DESC, cents.cid ASC) AS r
+    FROM cls CROSS JOIN cents)
+  WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, cents.cid,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {cos.format(a="q.qv", b="cents.cv")} DESC, cents.cid ASC) AS r
+    FROM q CROSS JOIN cents)
+  WHERE r <= 3),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+    round({cos.format(a="a.v", b="p.qv")}, 6) AS sim
+  FROM assigned a JOIN probes p USING (cid)),
+ranked AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ivf_ann_topk(spark, sf):
-    """IVF coarse-quantizer ANN (inverted lists by centroid; hash-class
-    centroids use xxhash64 — no DuckDB equivalent, rows-only)."""
+    """IVF coarse-quantizer ANN (inverted lists by md5-residue-class
+    centroids — fully replayed by the DuckDB oracle)."""
     from osm_pt_validator_spark.operators.similarity import ivf_ann_topk
 
     e = _t(spark, sf, "embeddings")
@@ -1320,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_route_master": wrap(q_v_route_master),
         "v_node_checks": wrap(q_v_node_checks),
         "v_oneway_url": wrap(q_v_oneway_url),
+        "parent_relations": wrap(q_parent_relations),
         # spatial (G3-G8)
         "cell_counts_events": wrap(q_cell_counts_events),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
@@ -1360,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         "v_route_master": SQL_V_ROUTE_MASTER,
         "v_node_checks": SQL_V_NODE_CHECKS,
         "v_oneway_url": _sql_v_oneway(),
+        "parent_relations": SQL_PARENT_RELATIONS,
         "cell_counts_events": SQL_CELL_COUNTS,
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
         "knn_customers_suppliers": SQL_KNN,
@@ -1373,4 +1538,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": SQL_COSINE_PAIRS,
         "mentions_extract": SQL_MENTIONS,
         "pipeline_heatmap": _sql_pipeline_heatmap(),
+        "lsh_ann_topk": _sql_lsh_ann(),
+        "simhash_pairs": _sql_simhash(),
+        "ivf_ann_topk": _sql_ivf_ann(),
+        "media_decode": SQL_MEDIA_DECODE,
     }

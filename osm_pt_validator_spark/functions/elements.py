@@ -29,6 +29,15 @@ def element_url(elem_type: Column | str, ref: Column | str) -> Column:
     return F.format_string("https://www.openstreetmap.org/%s/%d", t, r)
 
 
+def render_verdict(message: Column | str, url: Column | str) -> Column:
+    """ValidationError.String() parity (pkg/validation/validator.go:31-33):
+    ``fmt.Sprintf("%s - %s", Message, URL)`` — note the trailing
+    ``" - "`` survives when URL is empty, exactly like the Go."""
+    m = F.col(message) if isinstance(message, str) else message
+    u = F.col(url) if isinstance(url, str) else url
+    return F.format_string("%s - %s", m, F.coalesce(u, F.lit("")))
+
+
 def is_stop_role(role: Column) -> Column:
     """Member.RoleIsStop (relation.go:45-48)."""
     return role.isin(*ROLE_STOPS)

@@ -25,11 +25,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--routes", help="RoutesFile JSON path/glob (default: all relations)")
     ap.add_argument("--out", required=True, help="output dir (checkpointed stages)")
     ap.add_argument("--relation-id", type=int, help="validate a single relation (-r)")
+    ap.add_argument(
+        "--naptan",
+        action="store_true",
+        help="with --relation-id: enable naptan platform checks "
+        "(reference -n flag, default false — scripts/validate/main.go:25-26,117)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from osm_pt_validator_spark.config import DEFAULT_CONFIG
-    from osm_pt_validator_spark.operators.pipeline import collect_invalid, validate_all
+    from osm_pt_validator_spark.config import DEFAULT_CONFIG, ValidationConfig
+    from osm_pt_validator_spark.operators.pipeline import (
+        collect_invalid,
+        missing_relation_verdicts,
+        validate_all,
+    )
     from osm_pt_validator_spark.plans.checkpoint import run_stage
     from osm_pt_validator_spark.session import ensure_py_files, get_spark
     from osm_pt_validator_spark.sources.routes_file import read_routes_files
@@ -41,21 +51,6 @@ def main(argv: list[str] | None = None) -> int:
     ways = spark.read.parquet(f"{args.tables}/ways.parquet")
     relations = spark.read.parquet(f"{args.tables}/relations.parquet")
 
-    config = DEFAULT_CONFIG
-    if args.relation_id:
-        relations = relations.filter(F.col("relation_id") == args.relation_id)
-    elif args.routes:
-        worklist, configs = read_routes_files(spark, args.routes)
-        # one config per job run (reference: per-file validator); use the
-        # first file's config — heterogeneous files => run per file.
-        if configs:
-            config = next(iter(configs.values()))
-        relations = relations.join(
-            F.broadcast(worklist.select("relation_id").distinct()),
-            "relation_id",
-            "left_semi",
-        )
-
     # validate_all fans relations into several branches (routes /
     # masters / unknown / master-member join) — persist so the filtered
     # work-set is scanned once, not once per branch
@@ -63,9 +58,49 @@ def main(argv: list[str] | None = None) -> int:
 
     relations = relations.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # (config, relation-subset) work sets. The reference builds one
+    # validator per routes file from that file's config block
+    # (scripts/validate/main.go:70-74); we group files by *config value*
+    # (ValidationConfig is a frozen dataclass) so a homogeneous routes
+    # dir still runs as a single plan.
+    work_sets: list[tuple[ValidationConfig, "object"]] = []
+    gone = None
+    if args.relation_id:
+        # reference -r path: Config{NaptanPlatformTags: npt}, npt
+        # defaulting FALSE (scripts/validate/main.go:25-26,117)
+        cfg = ValidationConfig(naptan_platform_tags=args.naptan)
+        work_sets.append(
+            (cfg, relations.filter(F.col("relation_id") == args.relation_id))
+        )
+    elif args.routes:
+        worklist, configs = read_routes_files(spark, args.routes)
+        # a work-list id with no relations row must NOT be silently
+        # dropped: the reference's HTTP-410 path emits
+        # "relation no longer exists" (cmd/validate-rm/main.go:59-63)
+        gone = missing_relation_verdicts(worklist, relations)
+        by_cfg: dict[ValidationConfig, list[str]] = {}
+        for path, cfg in configs.items():
+            by_cfg.setdefault(cfg, []).append(path)
+        for cfg, files in sorted(by_cfg.items(), key=lambda kv: kv[1]):
+            ids = worklist.filter(F.col("source_file").isin(files)).select(
+                "relation_id"
+            ).distinct()
+            work_sets.append(
+                (cfg, relations.join(F.broadcast(ids), "relation_id", "left_semi"))
+            )
+    else:
+        work_sets.append((DEFAULT_CONFIG, relations))
+
     def _validate():
-        verdicts, errors = validate_all(relations, nodes, ways, config)
-        return verdicts
+        parts = [
+            validate_all(rels, nodes, ways, cfg)[0] for cfg, rels in work_sets
+        ]
+        if gone is not None:
+            parts.append(gone)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     verdicts = run_stage(spark, args.out, "verdicts", _validate)
     run_stage(spark, args.out, "invalid_relations", lambda: collect_invalid(verdicts))

@@ -73,23 +73,28 @@ def decode_media(media: DataFrame, require_real: bool = False) -> DataFrame:
                 "deterministic fake decode"
             )
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                payload = bytes(r.payload) if r.payload is not None else b""
-                w, h, d, feats = _fake_decode(payload, r.kind)
-                rows.append((int(r.media_id), r.kind, len(payload), w, h, d, feats))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "kind",
-                    "n_bytes",
-                    "width",
-                    "height",
-                    "duration_ms",
-                    "features",
-                ],
-            )
+            # decoding is inherently per-payload work (a real decoder
+            # consumes one blob at a time); keep the loop tight over
+            # plain zipped columns rather than itertuples' namedtuple
+            # construction, and assemble output columnar
+            out = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "kind": pdf["kind"],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "duration_ms": [],
+                "features": [],
+            }
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, d, feats = _fake_decode(b, kind)
+                out["n_bytes"].append(len(b))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(d)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         _decode, schema=DECODE_SCHEMA

@@ -34,9 +34,12 @@ def _checked_node_members(members: DataFrame, nodes: DataFrame) -> DataFrame:
         (F.col("type") == "node")
         & (is_stop_role(F.col("role")) | is_platform_role(F.col("role")))
     )
-    # hash the nodes build side (tags maps make sort-merge's sorts
-    # expensive); Catalyst upgrades to broadcast when the dim is small
-    return nm.join(nodes.hint("SHUFFLE_HASH"), nm["ref"] == nodes["node_id"], "left")
+    # No join hint: a SHUFFLE_HASH hint would force SHJ even for a tiny
+    # dim (hints resolve before size-based broadcast selection). The
+    # session's preferSortMergeJoin=false gives the intended ladder:
+    # small nodes dim -> broadcast (zero shuffle), bigger -> shuffled
+    # hash (skips sorting the tags-map rows), huge -> sort-merge.
+    return nm.join(nodes, nm["ref"] == nodes["node_id"], "left")
 
 
 def missing_node_errors(members: DataFrame, nodes: DataFrame) -> DataFrame:

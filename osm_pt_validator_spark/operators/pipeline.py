@@ -111,6 +111,33 @@ def validate_route_relations(
     return verdicts, engine_errors
 
 
+def missing_relation_verdicts(work: DataFrame, relations: DataFrame) -> DataFrame:
+    """HTTP-410 parity: any CheckRelationEvent whose relation is gone
+    gets a 'relation no longer exists' verdict — for route-master
+    members AND top-level work-list ids alike
+    (cmd/validate-rm/main.go:59-63,77-96).
+
+    Plan shape for scale: the work list is a job manifest (small), so
+    probe the big relations table with a broadcast SEMI join (no
+    shuffle, relation_id column-pruned scan), then anti-join the two
+    now-small id sets.
+    """
+    work_ids = work.select("relation_id").distinct()
+    present = relations.select("relation_id").join(
+        F.broadcast(work_ids), "relation_id", "left_semi"
+    )
+    return (
+        work_ids.join(present, "relation_id", "left_anti")
+        .select(
+            "relation_id",
+            F.lit(0).alias("stage_no"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("").alias("url"),
+            F.lit("relation no longer exists").alias("message"),
+        )
+    )
+
+
 def validate_all(
     relations: DataFrame,
     nodes: DataFrame,
@@ -136,16 +163,9 @@ def validate_all(
     # no relation row mirrors the HTTP-410 path -> "relation no longer
     # exists" verdict (cmd/validate-rm/main.go:59-63,77-96).
     work = split_route_master_members(masters)
-    member_rels = work.join(relations, "relation_id", "left")
-    gone = member_rels.filter(F.col("members").isNull()).select(
-        "relation_id",
-        F.lit(0).alias("stage_no"),
-        F.lit(0).cast("long").alias("seq"),
-        F.lit("").alias("url"),
-        F.lit("relation no longer exists").alias("message"),
-    )
-    member_routes = member_rels.filter(F.col("members").isNotNull()).select(
-        relations.columns
+    gone = missing_relation_verdicts(work, relations)
+    member_routes = relations.join(
+        F.broadcast(work.select("relation_id").distinct()), "relation_id", "left_semi"
     )
     # a master member may also appear in the top-level work list; the
     # reference would validate it twice (two SQS events) — dedup here.
@@ -164,17 +184,28 @@ def validate_all(
 def collect_invalid(verdicts: DataFrame) -> DataFrame:
     """Sink shape parity with InvalidRelationEvent
     (pkg/snsEvents/types.go:5-10): verdicts grouped per relation, in
-    emission order."""
+    emission order, plus the reference's printed form per verdict
+    ("{message} - {url}", validator.go:31-33) as `rendered`."""
+    from osm_pt_validator_spark.functions.elements import render_verdict
+
+    sorted_vs = F.sort_array(
+        F.collect_list(F.struct("stage_no", "seq", "url", "message"))
+    )
     return (
         verdicts.groupBy("relation_id")
         .agg(
             F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("stage_no", "seq", "url", "message"))
-                ),
+                sorted_vs,
                 lambda v: F.struct(v["url"].alias("url"), v["message"].alias("message")),
             ).alias("validation_errors"),
             F.count(F.lit(1)).alias("error_count"),
+        )
+        .withColumn(
+            "rendered",
+            F.transform(
+                F.col("validation_errors"),
+                lambda v: render_verdict(v["message"], v["url"]),
+            ),
         )
         .withColumn(
             "relation_url",

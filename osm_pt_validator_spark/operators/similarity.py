@@ -12,13 +12,9 @@
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
-from pyspark.sql.pandas.functions import pandas_udf
 
 
 def _as_double(v: Column) -> Column:
@@ -73,22 +69,34 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
-def make_hyperplane_bucket_udf(dim: int, num_planes: int = 8):
-    """Signature bucket via deterministic pseudo-random hyperplanes."""
-    m = np.arange(num_planes)[:, None]
-    d = np.arange(dim)[None, :]
-    planes = np.sin(m * 8191.0 + d * 131.0)  # (num_planes, dim)
+def hyperplane_coeffs(dim: int, num_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes
+    plane[m][d] = sin(m*8191 + d*131), materialised as driver-side
+    float64 literals. Both the Spark plan AND the DuckDB oracle consume
+    these exact constants, so the bucket is engine-reproducible with no
+    dependency on any engine's sin() implementation."""
+    import math
 
-    @pandas_udf(T.IntegerType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim) for v in vecs]
-        )
-        signs = (mat @ planes.T) > 0  # (rows, num_planes)
-        vals = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
-        return pd.Series(vals.astype(np.int32))
+    return [
+        [math.sin(m * 8191.0 + d * 131.0) for d in range(dim)]
+        for m in range(num_planes)
+    ]
 
-    return bucket
+
+def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Signature bucket as a pure JVM column expression (no Python on
+    the hot path): bit m set iff dot(vec, plane_m) > 0, with the dot a
+    sequential left fold — the same summation order as the oracle's
+    list_dot_product."""
+    v = _as_double(vec)
+    bits = []
+    for m, plane in enumerate(hyperplane_coeffs(dim, num_planes)):
+        p = F.array(*[F.lit(c) for c in plane])
+        bits.append(F.when(dot(v, p) > 0, F.lit(1 << m)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("int")
 
 
 def lsh_ann_topk(
@@ -104,11 +112,12 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates, exact cosine re-rank.
     Output: (query_id, vec_id, sim, rank) — rank within candidates."""
-    bucket = make_hyperplane_bucket_udf(dim, num_planes)
-    e = embeddings.select(id_col, vec_col).withColumn("__b", bucket(F.col(vec_col)))
+    e = embeddings.select(id_col, vec_col).withColumn(
+        "__b", hyperplane_bucket(F.col(vec_col), dim, num_planes)
+    )
     q = broadcast(
         queries.select(query_id_col, query_vec_col).withColumn(
-            "__b", bucket(F.col(query_vec_col))
+            "__b", hyperplane_bucket(F.col(query_vec_col), dim, num_planes)
         )
     )
     joined = e.join(q, "__b", "inner")
@@ -133,8 +142,9 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: bucket self-join + exact verify.
     Output: (vec_a, vec_b, sim)."""
-    bucket = make_hyperplane_bucket_udf(dim, num_planes)
-    e = embeddings.select(id_col, vec_col).withColumn("__b", bucket(F.col(vec_col)))
+    e = embeddings.select(id_col, vec_col).withColumn(
+        "__b", hyperplane_bucket(F.col(vec_col), dim, num_planes)
+    )
     a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "__b")
     b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "__b")
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
@@ -186,12 +196,17 @@ def deterministic_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse quantizer without iterative k-means: centroid c = the
-    element-wise mean of the vectors whose xxhash64(id) lands in
-    residue class c. Deterministic, one aggregation pass, and at scale
-    a perfectly serviceable IVF quantizer (k-means would sharpen the
-    cells but not change the plan shape). Output: (centroid_id,
-    centroid_vec ARRAY<DOUBLE>)."""
-    cls = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_centroids)).alias("centroid_id")
+    element-wise mean of the vectors whose md5-derived id hash lands in
+    residue class c. Deterministic AND engine-reproducible (md5_i64 is
+    replayable in the DuckDB oracle, unlike Spark-private xxhash64);
+    one aggregation pass, and at scale a perfectly serviceable IVF
+    quantizer (k-means would sharpen the cells but not change the plan
+    shape). Output: (centroid_id, centroid_vec ARRAY<DOUBLE>)."""
+    from osm_pt_validator_spark.functions.hashing import md5_i64
+
+    cls = F.pmod(
+        md5_i64(F.col(id_col).cast("string"), salt="ivf|"), F.lit(num_centroids)
+    ).alias("centroid_id")
     exploded = embeddings.select(
         cls, F.posexplode(F.col(vec_col)).alias("dim", "x")
     )

@@ -312,10 +312,12 @@ def route_detail(
     # read at 100 TB). The ways join keys on ref=way_id with the
     # kind='way' predicate folded into the join condition, so stop rows
     # null-extend even if a node ref collides with a way id.
-    # SHUFFLE_HASH: sort-merge would sort both sides on way_id, and the
-    # build rows carry node arrays — hashing the ways build side skips
-    # both sorts. (Catalyst still upgrades to broadcast when the ways
-    # dim is small enough.)
+    # No join hint: a SHUFFLE_HASH hint would force SHJ and forgo the
+    # broadcast plan even for a tiny ways dim (hints resolve before
+    # size-based selection). The session's preferSortMergeJoin=false
+    # still avoids sort-merge's two sorts (node arrays sort expensively)
+    # whenever the ways build side is partition-small, and degrades to
+    # the spill-safe sort-merge only for a genuinely huge dim.
     return (
         members.filter(is_way | is_stop)
         .select(
@@ -325,7 +327,7 @@ def route_detail(
             "ref",
         )
         .join(
-            ways.hint("SHUFFLE_HASH"),
+            ways,
             (F.col("ref") == F.col("way_id")) & (F.col("kind") == "way"),
             "left",
         )
@@ -374,6 +376,15 @@ def validate_way_and_stop_order(
     distribution is part of the operator, so AQE local shuffle reads
     cannot break co-location, unlike a bare repartition()), then a
     single mapInPandas Arrow hop runs the automaton per row.
+
+    Batch bound: one relation = one Arrow row, so the per-row payload
+    is ~(members × mean nodes-per-way × 8B). Arrow's per-buffer limit
+    is 2 GiB per column chunk, i.e. the design holds to relations of
+    ~10^7-10^8 members — OSM's largest PT relations are ~10^3-10^4 and
+    a 10^5-member relation is covered by test. Relations are
+    independent, so a pathological input could be row-capped upstream
+    (filter size(members) > cap into the engine-error channel) without
+    touching this plan.
     """
     detail = route_detail(members, ways, ignore_ways)
     grouped = detail.groupBy("relation_id").agg(

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # join-strategy ladder WITHOUT per-site hints (a SHUFFLE_HASH
+        # hint is resolved before size-based broadcast selection, so it
+        # FORCES SHJ and forgoes the zero-shuffle broadcast plan even
+        # for a 10-row dim): tiny build -> broadcast; partition-small
+        # build -> shuffled hash (this flag, skipping sort-merge's two
+        # sorts — measured win for the map/array-heavy ways & nodes
+        # dims); huge build -> sort-merge, the only spill-safe choice.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -88,9 +96,16 @@ def ensure_py_files(spark: SparkSession) -> None:
         os.path.getmtime(p) >= os.path.getmtime(zpath) for p in sources
     )
     if stale:
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for full in sorted(sources):
-                z.write(full, os.path.relpath(full, root))
-        os.replace(tmp, zpath)
+        # per-process tmp name: concurrent rebuilders must not
+        # interleave writes into one shared tmp file (os.replace is
+        # atomic, but a shared tmp's CONTENTS aren't protected)
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for full in sorted(sources):
+                    z.write(full, os.path.relpath(full, root))
+            os.replace(tmp, zpath)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     spark.sparkContext.addPyFile(zpath)

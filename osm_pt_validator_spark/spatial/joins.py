@@ -77,11 +77,16 @@ def salted_equi_join(
     columns; pass `probe_salt_col` (e.g. 'url') for a stable identity
     column — required for reproducible lineage.
 
-    `shuffle_hash` (default) hints SHUFFLE_HASH on the build side:
-    after salting, per-partition build slices are small by construction,
-    so hashing the build beats sort-merge's O(n log n) sort of the
-    (huge) probe side. Disable if the build side can be large per
-    partition.
+    `shuffle_hash` (default) hints SHUFFLE_HASH on the build side.
+    NB the hint is resolved BEFORE size-based broadcast selection, so
+    it FORCES a shuffled hash join — it is never upgraded to broadcast,
+    and the probe side always shuffles. That is the right trade here
+    because salting exists precisely for probe sides too hot/large for
+    broadcast to matter and build slices that are per-partition small
+    by construction (hashing the build skips sort-merge's O(n log n)
+    sort of the huge probe). Pass shuffle_hash=False when the build
+    side is tiny (let the planner broadcast) or could be large per
+    partition (sort-merge spills safely).
 
     NB when `hot` (or the default probe-frequency estimate) derives
     from `probe` and `probe` is itself an expensive pipeline (e.g.

@@ -75,6 +75,12 @@ def _run_level(cpus: int) -> dict:
         preexec_fn=lambda: os.sched_setaffinity(0, range(cpus)),
         timeout=1800,
     )
+    # a worker that printed its JSON but then crashed (e.g. during
+    # spark.stop) must NOT count as a valid trial
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"worker exited {out.returncode} at cpus={cpus}: {out.stderr[-2000:]}"
+        )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)

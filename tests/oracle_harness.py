@@ -28,14 +28,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Type-sensitive on the int/float boundary: the driver's hasher
+    # serializes a DuckDB HUGEINT-materialized-as-float64 (38017151.0)
+    # differently from Spark's LongType (38017151), so an un-cast
+    # SUM(BIGINT) must FAIL here too, not be papered over by %g.
     if v is None:
         return "\0"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+        if v != int(v):
+            return f"{v:.9g}"
+        return f"float:{v!r}"
     return str(v)
 
 
@@ -51,8 +57,14 @@ def compare_query(spark, sf_dir: str, name: str, q_fn, sql: str):
 
     con = duck_connection(sf_dir)
     res = con.sql(sql)
-    d_cols = [c.lower() for c in res.columns]
-    d_rows = res.fetchall()
+    # materialize through pandas like the driver does — this is what
+    # turns DuckDB HUGEINT into float64 and exposes un-cast SUMs
+    pdf = res.df()
+    d_cols = [c.lower() for c in pdf.columns]
+    d_rows = [
+        tuple(None if isinstance(v, float) and math.isnan(v) else v for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    ]
     con.close()
 
     problems = []

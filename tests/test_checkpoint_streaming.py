@@ -131,3 +131,58 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     assert set(out) == {"u1", "u2", "u3"}
     assert out["u2"] == "b" and out["u3"] == "c"
     assert out["u1"] in ("a", "a-dup-same-batch")  # first file wins; intra-batch order is one row
+
+
+def test_streaming_first_seen_ttl_evicts_and_readmits(spark, tmp_path):
+    """With state_ttl_ms, a key idle past the TTL is evicted
+    (ProcessingTimeTimeout) and a later arrival is first-seen again —
+    the bound that keeps keyed state finite on an unbounded url stream."""
+    import time
+
+    from osm_pt_validator_spark.streaming.dedup import streaming_first_seen
+
+    src = str(tmp_path / "ttl_stream")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "url string, text string"
+
+    def sink_rows():
+        try:
+            return sorted((r.url, r.text) for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    def run_batch(rows, name, expect):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = (
+            streaming_first_seen(stream, "url", state_ttl_ms=500)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # NB: with ProcessingTimeTimeout, availableNow keeps running
+        # no-data "cleaning up state" batches while any key still holds
+        # a TTL (the batch clock doesn't advance without data), so the
+        # query never self-terminates — poll the sink for the data
+        # batch's commit, then stop.
+        deadline = time.time() + 120
+        while time.time() < deadline and not (set(expect) <= set(sink_rows())):
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+
+    run_batch([("u1", "first")], "b1", [("u1", "first")])   # admitted, TTL armed
+    time.sleep(1.2)                                          # let u1's TTL lapse
+    # batch with NO u1: its data batch advances the clock -> u1's timer
+    # fires (hasTimedOut branch), state evicted
+    run_batch([("u9", "other")], "b2", [("u9", "other")])
+    run_batch([("u1", "again")], "b3", [("u1", "again")])    # u1 re-admitted
+
+    assert sink_rows() == [("u1", "again"), ("u1", "first"), ("u9", "other")]

@@ -322,3 +322,30 @@ def test_valid_route_produces_zero_verdicts(spark, dims):
     verdicts, errors = run_routes(spark, dims, rows)
     assert sorted_verdicts(verdicts, 9800) == []
     assert errors.count() == 0
+
+
+def test_rendered_verdict_strings_match_go_println(spark, dims):
+    """Byte-parity with the reference's printed output: log.Println(ve)
+    renders ValidationError.String() = "{message} - {url}"
+    (validator.go:31-33; scripts/validate/main.go:183). Includes the
+    empty-URL case, whose Go form keeps the trailing ' - '."""
+    from osm_pt_validator_spark.operators.pipeline import collect_invalid
+
+    nodes, ways = dims
+    rows = [
+        # ways 1,3,2 : way 3 incorrectly ordered (way_order_test.go case)
+        relation_row(9901, stop_members(100, 102) + way_members(1, 3, 2), route_tags()),
+        # master referencing a gone relation -> empty-URL verdict
+        relation_row(
+            9902,
+            [member("relation", 77777), member("relation", 77778)],
+            {"type": "route_master", "name": "X", "ref": "X", "operator": "Op"},
+        ),
+    ]
+    verdicts, _ = validate_all(relations_df(spark, rows), nodes, ways, ValidationConfig())
+    inv = {r.relation_id: r.rendered for r in collect_invalid(verdicts).collect()}
+    assert inv[9901] == [
+        "ways are incorrectly ordered - https://www.openstreetmap.org/way/3"
+    ]
+    assert inv[77777] == ["relation no longer exists - "]
+    assert inv[77778] == ["relation no longer exists - "]

@@ -149,3 +149,48 @@ def test_knn_probe_side_broadcasts_ring_dim(spark):
     )
     plan = plan_of(knn_join(mentions, stops, "mention_id", "stop_id", k=2, res=14, ring=1))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dim_joins_broadcast_small_and_hash_large(spark, tmp_path):
+    """The validator dim joins carry NO join hint (a SHUFFLE_HASH hint
+    resolves before size-based selection and would forgo broadcast even
+    for a 10-row dim). Intended ladder: small parquet-backed dim (the
+    deployment shape, with size stats) -> BroadcastHashJoin; broadcast
+    disabled (stand-in for a huge dim) -> ShuffledHashJoin via
+    preferSortMergeJoin=false, NOT SortMergeJoin."""
+    from osm_pt_validator_spark.fixtures import nodes_df, ways_df
+    from osm_pt_validator_spark.operators.node_checks import _checked_node_members
+    from osm_pt_validator_spark.operators.way_order import route_detail
+
+    members = spark.range(200_000).select(
+        F.col("id").alias("relation_id"),
+        F.lit(0).cast("int").alias("member_idx"),
+        F.when(F.col("id") % 2 == 0, "node").otherwise("way").alias("type"),
+        (F.col("id") % 100 + 100).alias("ref"),
+        F.when(F.col("id") % 2 == 0, "stop").otherwise("").alias("role"),
+    )
+    nodes_df(spark).write.parquet(str(tmp_path / "nodes.parquet"))
+    ways_df(spark).write.parquet(str(tmp_path / "ways.parquet"))
+    nodes = spark.read.parquet(str(tmp_path / "nodes.parquet"))
+    ways = spark.read.parquet(str(tmp_path / "ways.parquet"))
+
+    for df in (_checked_node_members(members, nodes),
+               route_detail(members, ways)):
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    # a threshold below the dims' size stats (~7-8 KB here) rules out
+    # broadcast, while the SHJ gate (size < threshold * partitions)
+    # still admits them — i.e. the "dim too big to broadcast but
+    # partition-small" regime where preferSortMergeJoin=false matters
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4000")
+        for df in (_checked_node_members(members, nodes),
+                   route_detail(members, ways)):
+            plan = plan_of(df)
+            assert "ShuffledHashJoin" in plan, plan
+            assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -101,6 +101,138 @@ def test_job_end_to_end(spark, tmp_path):
     assert "ways are incorrectly ordered" in msgs
 
 
+def _write_tables(spark, tables, rels, extra_nodes=None):
+    from osm_pt_validator_spark.fixtures import node_rows, way_rows
+    from osm_pt_validator_spark.schemas import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+
+    os.makedirs(tables, exist_ok=True)
+    spark.createDataFrame(node_rows(extra_nodes), NODE_SCHEMA).write.parquet(
+        str(tables / "nodes.parquet")
+    )
+    spark.createDataFrame(way_rows(), WAY_SCHEMA).write.parquet(str(tables / "ways.parquet"))
+    spark.createDataFrame(rels, RELATION_SCHEMA).write.parquet(
+        str(tables / "relations.parquet")
+    )
+
+
+def test_job_dangling_relation_emits_410_verdict(spark, tmp_path):
+    """A routes-file id with no relations row must produce the
+    reference's HTTP-410 'relation no longer exists' verdict and exit 1
+    (cmd/validate-rm/main.go:59-63,77-96) — not be silently dropped."""
+    from osm_pt_validator_spark.fixtures import (
+        relation_row,
+        route_tags,
+        stop_members,
+        way_members,
+    )
+    from osm_pt_validator_spark.jobs import main
+
+    tables = tmp_path / "tables"
+    _write_tables(
+        spark, tables,
+        [relation_row(9001, stop_members(102, 104) + way_members(3, 4), route_tags())],
+    )
+    routes = tmp_path / "routes.json"
+    doc = {
+        "config": {},
+        "routes": {"g": [
+            {"name": "good", "relation_id": 9001},
+            {"name": "stale", "relation_id": 404404},
+        ]},
+    }
+    with open(routes, "w") as f:
+        json.dump(doc, f)
+
+    out = tmp_path / "out"
+    rc = main(["--tables", str(tables), "--routes", str(routes), "--out", str(out), "--cpus", "4"])
+    assert rc == 1
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    rows = [(r.relation_id, r.message) for r in verdicts.collect()]
+    assert rows == [(404404, "relation no longer exists")]
+
+
+def test_job_per_file_configs(spark, tmp_path):
+    """Two routes files differing in naptanPlatformTags must each be
+    validated under their OWN config (scripts/validate/main.go:70-74):
+    the same naptan-less platform node is a verdict only for the file
+    that enables the check."""
+    from osm_pt_validator_spark.fixtures import (
+        member,
+        relation_row,
+        route_tags,
+        stop_members,
+        way_members,
+    )
+    from osm_pt_validator_spark.jobs import main
+
+    platform_no_naptan = (
+        150,
+        {"public_transport": "platform", "highway": "bus_stop", "name": "P"},
+    )
+    mk = lambda rid: relation_row(  # noqa: E731
+        rid,
+        stop_members(102, 104) + [member("node", 150, "platform")] + way_members(3, 4),
+        route_tags(),
+    )
+    tables = tmp_path / "tables"
+    _write_tables(spark, tables, [mk(9101), mk(9102)], extra_nodes=[platform_no_naptan])
+
+    routes = tmp_path / "routes"
+    os.makedirs(routes)
+    for fname, naptan, rid in [("a.json", False, 9101), ("b.json", True, 9102)]:
+        with open(routes / fname, "w") as f:
+            json.dump(
+                {"config": {"naptanPlatformTags": naptan},
+                 "routes": {"g": [{"name": "r", "relation_id": rid}]}},
+                f,
+            )
+
+    out = tmp_path / "out"
+    rc = main(["--tables", str(tables), "--routes", str(routes), "--out", str(out), "--cpus", "4"])
+    assert rc == 1
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    rows = sorted((r.relation_id, r.message) for r in verdicts.collect())
+    # identical relations, identical node — only the naptan=true file's
+    # relation gets the verdict
+    assert rows == [(9102, "missing tag 'naptan:AtcoCode'")]
+
+
+def test_relation_id_mode_defaults_naptan_false(spark, tmp_path):
+    """Reference -r path: Config{NaptanPlatformTags: npt} with npt
+    defaulting FALSE (scripts/validate/main.go:25-26,117); --naptan
+    switches the check on."""
+    from osm_pt_validator_spark.fixtures import (
+        member,
+        relation_row,
+        route_tags,
+        stop_members,
+        way_members,
+    )
+    from osm_pt_validator_spark.jobs import main
+
+    platform_no_naptan = (
+        150,
+        {"public_transport": "platform", "highway": "bus_stop", "name": "P"},
+    )
+    rel = relation_row(
+        9201,
+        stop_members(102, 104) + [member("node", 150, "platform")] + way_members(3, 4),
+        route_tags(),
+    )
+    tables = tmp_path / "tables"
+    _write_tables(spark, tables, [rel], extra_nodes=[platform_no_naptan])
+
+    rc = main(["--tables", str(tables), "--out", str(tmp_path / "o1"),
+               "--relation-id", "9201", "--cpus", "4"])
+    assert rc == 0  # naptan defaults off -> no verdicts
+
+    rc2 = main(["--tables", str(tables), "--out", str(tmp_path / "o2"),
+                "--relation-id", "9201", "--naptan", "--cpus", "4"])
+    assert rc2 == 1
+    v = spark.read.parquet(str(tmp_path / "o2" / "verdicts"))
+    assert [r.message for r in v.collect()] == ["missing tag 'naptan:AtcoCode'"]
+
+
 def test_spark_submit_py_files(spark, tmp_path):
     """North-rule deployment path: the job runs under a REAL
     `spark-submit --py-files <zip>` subprocess (fresh JVM, package

@@ -213,3 +213,39 @@ def test_salted_join_matches_plain_join(spark):
     a = sorted((r.point_id, r.v) for r in salted.collect())
     b = sorted((r.point_id, r.v) for r in plain.collect())
     assert a == b
+
+
+def test_pip_broadcast_and_salted_paths_agree(spark):
+    """De-skew contract: a single polygon containing 10^5 candidate
+    points completes on BOTH paths with identical output — the
+    broadcast path with no grouping shuffle at all, the salted path
+    fanned out over salt_buckets tasks instead of one."""
+    xs = [-3.300, -3.290, -3.290, -3.295, -3.290, -3.290, -3.300]
+    ys = [55.900, 55.900, 55.904, 55.905, 55.906, 55.910, 55.910]
+    polygons = spark.createDataFrame(
+        [(1, xs, ys)], "polygon_id long, xs array<double>, ys array<double>"
+    )
+    n = 100_000
+    pts = spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (55.900 + (F.col("id") % 317) * (0.010 / 317)).alias("lat"),
+        (-3.300 + ((F.col("id") * 7) % 331) * (0.010 / 331)).alias("lon"),
+    )
+
+    bcast = points_in_polygons(pts, polygons, res=12, broadcast_polygons=True)
+    salted = points_in_polygons(
+        pts, polygons, res=12, broadcast_polygons=False, salt_buckets=16
+    )
+
+    # plan shape: broadcast path streams (MapInPandas), no
+    # per-polygon grouped exchange; salted path groups on the salted key
+    bplan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in bplan
+    assert "MapInPandas" in bplan
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in splan
+
+    got_b = {r.point_id for r in bcast.collect()}
+    got_s = {r.point_id for r in salted.collect()}
+    assert got_b == got_s
+    assert 0 < len(got_b) < n

@@ -58,3 +58,31 @@ def test_stop_order_case(name, way_directs, stops, expected):
 def test_stop_order_skips_below_two_stops():
     directs = [(1, "forward", [1, 2, 3])]
     assert run_stop_order(directs, [999]) == []  # stop_order.go:18-21
+
+
+def test_large_relation_single_arrow_row(spark):
+    """Batch-bound guard: a 10^5-member relation (one Arrow row of
+    ~10^5 structs with node arrays) must flow through the grouped
+    mapInPandas automaton without Arrow failure, and validate clean."""
+    from pyspark.sql import functions as F
+
+    from osm_pt_validator_spark.operators.way_order import (
+        validate_way_and_stop_order,
+    )
+
+    n = 100_000
+    ways = spark.range(n).select(
+        F.col("id").alias("way_id"),
+        F.lit(1).alias("version"),
+        F.array(F.col("id"), F.col("id") + 1).alias("nodes"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    members = spark.range(n).select(
+        F.lit(1).alias("relation_id"),
+        F.col("id").cast("int").alias("member_idx"),
+        F.lit("way").alias("type"),
+        F.col("id").alias("ref"),
+        F.lit("").alias("role"),
+    )
+    out = validate_way_and_stop_order(members, ways)
+    assert out.count() == 0  # contiguous chain: no gaps, no oneway, no stops
