@@ -609,6 +609,82 @@ LEFT JOIN t j ON j.way_id = w.way_id AND j.k = 'junction'
 """
 
 
+# cheap gap-prefilter cases over the fixture 10-way network: ways per
+# relation (all known ways; the prefilter inner-joins the ways dim)
+GAP_CASES: dict[int, list[int]] = {
+    1: [1, 2, 3],   # valid chain
+    2: [1, 3],      # no shared endpoint -> gap
+    3: [3, 4, 5],   # circular way in the middle -> full-node compare
+    4: [5, 6],      # oneway pair, connected
+    5: [2, 10],     # roundabout neighbour sharing node 101
+}
+
+
+def q_gap_prefilter(spark, sf):
+    """W1 set-based pre-filter (SURVEY §2.5): flag relations where some
+    consecutive member-way pair shares no endpoint — the cheap plan that
+    routes the clean majority around the Python automaton at scale."""
+    from osm_pt_validator_spark.fixtures import ways_df
+    from osm_pt_validator_spark.operators.way_order import cheap_gap_prefilter
+
+    members = _members_df(
+        spark,
+        [
+            (rid, i, "way", wid, "")
+            for rid, wids in GAP_CASES.items()
+            for i, wid in enumerate(wids)
+        ],
+    )
+    # INT not BOOLEAN: pandas materializes DuckDB booleans as
+    # numpy.bool_, which the value hashers serialize differently from
+    # Python bools — integers are unambiguous
+    return cheap_gap_prefilter(members, ways_df(spark)).select(
+        "relation_id", F.col("maybe_gap").cast("int").alias("maybe_gap")
+    )
+
+
+def _sql_gap_prefilter() -> str:
+    from osm_pt_validator_spark.fixtures import NETWORK_WAYS
+
+    ways_vals = ", ".join(
+        f"({wid}, [{', '.join(str(n) for n in nodes)}])"
+        for wid, (nodes, _tags) in sorted(NETWORK_WAYS.items())
+    )
+    member_vals = _values(
+        [
+            (rid, i, wid)
+            for rid, wids in GAP_CASES.items()
+            for i, wid in enumerate(wids)
+        ]
+    )
+    return f"""
+WITH w(way_id, nodes) AS (VALUES {ways_vals}),
+m(relation_id, member_idx, ref) AS (VALUES {member_vals}),
+j AS (
+  SELECT m.relation_id, m.member_idx, w.nodes,
+    list_distinct([w.nodes[1], w.nodes[-1]]) AS endpoints,
+    w.nodes[1] = w.nodes[-1] AS circular
+  FROM m JOIN w ON m.ref = w.way_id),
+l AS (
+  SELECT relation_id, nodes, endpoints, circular,
+    lag(nodes) OVER win AS prev_nodes,
+    lag(endpoints) OVER win AS prev_endpoints,
+    lag(circular) OVER win AS prev_circ
+  FROM j WINDOW win AS (PARTITION BY relation_id ORDER BY member_idx)),
+p AS (
+  SELECT relation_id,
+    CASE WHEN prev_nodes IS NULL THEN FALSE
+         ELSE len(list_intersect(
+           CASE WHEN prev_circ OR circular THEN prev_nodes ELSE prev_endpoints END,
+           CASE WHEN prev_circ OR circular THEN nodes ELSE endpoints END)) = 0
+    END AS maybe_gap
+  FROM l)
+SELECT CAST(relation_id AS BIGINT) AS relation_id,
+  CAST(max(maybe_gap) AS INT) AS maybe_gap
+FROM p GROUP BY 1
+"""
+
+
 S2_MEMBERS: list[tuple[int, int, str, int, str]] = [
     (701, 0, "relation", 801, ""), (701, 1, "way", 5, ""),
     (702, 0, "relation", 801, ""), (702, 1, "relation", 802, ""),
@@ -1397,6 +1473,37 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
 """
 
 
+SQL_FRAME_SAMPLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, encode(text) AS payload
+  FROM documents WHERE doc_id % 3 = 2),
+n AS (
+  SELECT media_id, payload,
+    LEAST(8, GREATEST(1, octet_length(payload) // 64)) AS n_frames
+  FROM media)
+SELECT media_id, CAST(f AS INT) AS frame_idx,
+  md5(substr(hex(payload), f * 128 + 1, 128)) AS frame_md5
+FROM n, UNNEST(range(n_frames)) AS t(f)
+"""
+
+
+def q_frame_sample(spark, sf):
+    """Deterministic video frame sampling (explode-per-media shape) —
+    chunk md5s are SQL-replayable, so the mapInPandas plumbing is
+    value-checked end to end."""
+    from osm_pt_validator_spark.operators.multimodal import frame_sample
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return frame_sample(media).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"), "frame_md5"
+    )
+
+
 def q_ivf_ann_topk(spark, sf):
     """IVF coarse-quantizer ANN (inverted lists by md5-residue-class
     centroids — fully replayed by the DuckDB oracle)."""
@@ -1507,6 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": wrap(q_ivf_ann_topk),
         "verdict_heatmap": wrap(q_verdict_heatmap),
         "media_decode": wrap(q_media_decode),
+        "frame_sample": wrap(q_frame_sample),
+        "gap_prefilter": wrap(q_gap_prefilter),
         "mentions_extract": wrap(q_mentions_extract),
     }
 
@@ -1542,4 +1651,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_decode": SQL_MEDIA_DECODE,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        "gap_prefilter": _sql_gap_prefilter(),
     }

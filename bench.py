@@ -177,9 +177,7 @@ def bench_spatial_join(spark, sf_dir):
     return {"join_rows": joined.count()}
 
 
-def bench_knn(spark, sf_dir):
-    from osm_pt_validator_spark.spatial.knn import knn_join
-
+def _knn_dims(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey",
         (55.9 + (F.col("c_custkey") % 97) * 0.001).alias("lat"),
@@ -190,12 +188,33 @@ def bench_knn(spark, sf_dir):
         (55.9 + ((F.col("s_suppkey") * 7) % 97) * 0.00097).alias("lat"),
         (-3.3 + ((F.col("s_suppkey") * 11) % 89) * 0.00103).alias("lon"),
     )
+    return c, s
+
+
+def bench_knn(spark, sf_dir):
+    from osm_pt_validator_spark.spatial.knn import knn_join
+
+    c, s = _knn_dims(spark, sf_dir)
     # res=13 (~0.022 deg cells): the ~0.1 deg point box spans ~20 cells,
     # so candidates stay local. (res=8 put the whole box in ONE cell —
     # a single join key, i.e. a full cross join through one partition.)
     return {
         "knn_rows": knn_join(
             c, s, probe_key="c_custkey", build_key="stop_id", k=2, ring=1, res=13
+        ).count()
+    }
+
+
+def bench_knn_nearest(spark, sf_dir):
+    """k=1 fast path: min(struct) partial aggregation instead of the
+    rank window — the shuffle carries one row per probe, not every
+    k-ring candidate."""
+    from osm_pt_validator_spark.spatial.knn import knn_join
+
+    c, s = _knn_dims(spark, sf_dir)
+    return {
+        "nearest_rows": knn_join(
+            c, s, probe_key="c_custkey", build_key="stop_id", k=1, ring=1, res=13
         ).count()
     }
 
@@ -228,6 +247,7 @@ BENCHES = {
     "validation": bench_validation,
     "spatial_join": bench_spatial_join,
     "knn_match": bench_knn,
+    "knn_nearest": bench_knn_nearest,
     "pricing_summary": bench_pricing,
     "minhash_pairs": bench_minhash,
     "embedding_topk": bench_embedding_topk,

@@ -103,18 +103,25 @@ def decode_media(media: DataFrame, require_real: bool = False) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Deterministic 'frame sampling' for video payloads: one row per
-    sampled chunk with its md5 — exercises the explode-per-media shape
-    a real frame sampler would produce."""
+    sampled chunk, fingerprinted as md5 of the chunk's UPPERCASE HEX
+    (injective on the bytes, and replayable by engines whose md5 only
+    accepts strings — arbitrary byte chunks need not be valid UTF-8).
+    Exercises the explode-per-media shape a real frame sampler would
+    produce."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples():
-                payload = bytes(r.payload) if r.payload is not None else b""
-                for f in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
-                    chunk = payload[f * every_n_bytes : (f + 1) * every_n_bytes]
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                for f in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    chunk = b[f * every_n_bytes : (f + 1) * every_n_bytes]
                     rows.append(
-                        (int(r.media_id), f, hashlib.md5(chunk).hexdigest())
+                        (
+                            int(media_id),
+                            f,
+                            hashlib.md5(chunk.hex().upper().encode()).hexdigest(),
+                        )
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_md5"])
 

@@ -84,9 +84,13 @@ def validate_route_relations(
 
     # abort set: relations with unresolvable node members skip stages
     # 3-7 (route_relation.go:29-33) — stages 0-2 survive, so only the
-    # fused pass's stage-7 rows need the exclusion.
+    # fused pass's stage-7 rows need the exclusion. The abort set is an
+    # ERROR set — tiny by nature at any scale — so broadcast it
+    # explicitly: without the hint its size is statically unknowable
+    # (derived data) and the anti-joins degrade to sort-merge, sorting
+    # the full members stream twice for a near-empty exclusion list.
     node_errors = missing_node_errors(members, nodes)
-    aborted = node_errors.select("relation_id").distinct()
+    aborted = F.broadcast(node_errors.select("relation_id").distinct())
     live_members = members.join(aborted, "relation_id", "left_anti")
 
     vset = (

@@ -92,6 +92,20 @@ def run_stage(
     return out
 
 
+def stage_metrics(spark: SparkSession, root: str) -> DataFrame:
+    """The run's metrics table: one row per completed stage (name, wall
+    seconds, output rows) assembled from the stage manifests. On a real
+    deployment this is the table an orchestrator reads to spot the slow
+    stage of a resumed 10^12-doc job."""
+    rows = []
+    for fn in sorted(os.listdir(root)):
+        if fn.endswith("__manifest.json"):
+            with open(os.path.join(root, fn)) as f:
+                m = json.load(f)
+            rows.append((m["stage"], float(m["seconds"]), int(m["rows"])))
+    return spark.createDataFrame(rows, "stage string, seconds double, rows long")
+
+
 def verify_lineage(spark: SparkSession, root: str, stage: str) -> bool:
     """Audit a materialised stage against its recorded lineage: total
     rows and the global checksum must match (partition boundaries may

@@ -51,6 +51,15 @@ def get_spark(
         # sorts — measured win for the map/array-heavy ways & nodes
         # dims); huge build -> sort-merge, the only spill-safe choice.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # static SHJ selection needs trustworthy build-side stats, which
+        # in-memory/synthesized relations don't have — let AQE convert
+        # SMJ -> SHJ at runtime from MEASURED per-partition build sizes
+        # (off by default). 128 MiB per partition hashes comfortably in
+        # executor memory; bigger builds stay sort-merge (spill-safe).
+        .config(
+            "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -67,6 +67,28 @@ def knn_join(
         "distance_m",
         haversine_m(F.col(probe_lat), F.col(probe_lon), F.col("__blat"), F.col("__blon")),
     )
+
+    if k == 1:
+        # Nearest-one fast path (the flagship stop-to-mention match):
+        # min(struct(distance, id)) is lexicographic — identical
+        # ordering contract to the rank window (distance asc, id asc) —
+        # but it PARTIALLY AGGREGATES map-side, so the shuffle carries
+        # one row per probe row instead of every k-ring candidate
+        # (~9×candidate-density fewer rows at 100 TB). The rank window
+        # below can never partial-reduce: it must see all candidates.
+        return (
+            joined.groupBy(*[F.col(c) for c in probe.columns])
+            .agg(
+                F.min(F.struct(F.col("distance_m"), F.col(build_key))).alias("__best")
+            )
+            .select(
+                *probe.columns,
+                F.col(f"__best.{build_key}").alias(build_key),
+                F.col("__best.distance_m").alias("distance_m"),
+                F.lit(1).alias("knn_rank"),
+            )
+        )
+
     w = Window.partitionBy(*probe_keys).orderBy(
         F.col("distance_m").asc(), F.col(build_key).asc()
     )

@@ -35,6 +35,11 @@ def test_stage_checkpoint_resume_and_lineage(spark, tmp_path):
 
     assert verify_lineage(spark, root, "stage1")
 
+    from osm_pt_validator_spark.plans.checkpoint import stage_metrics
+
+    m = {r.stage: (r.seconds, r.rows) for r in stage_metrics(spark, root).collect()}
+    assert m["stage1"][1] == 1000 and m["stage1"][0] > 0
+
     # tamper: rewrite the stage with one row missing -> lineage fails
     spark.range(0, 999).withColumn("v", F.col("id") * 2).write.mode(
         "overwrite"

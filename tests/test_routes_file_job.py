@@ -289,3 +289,35 @@ def test_spark_submit_py_files(spark, tmp_path):
     verdicts = spark.read.parquet(str(out / "verdicts"))
     assert verdicts.filter(verdicts.relation_id == 2).count() > 0
     assert verdicts.filter(verdicts.relation_id == 1).count() == 0
+
+
+def test_iceberg_source_gating_and_fallback(spark, tmp_path):
+    """Iceberg is config-gated (no runtime jar in this container): conf
+    builders are pure, availability probing is honest, and the reader
+    falls back to the parquet layout with identical results. With the
+    runtime jar present the same calls read/write through the catalog."""
+    import pytest as _pytest
+
+    from osm_pt_validator_spark.fixtures import pages_df
+    from osm_pt_validator_spark.sources.iceberg import (
+        iceberg_available,
+        iceberg_session_conf,
+        read_pages,
+        table_ref,
+        write_pages_partitioned,
+    )
+
+    conf = iceberg_session_conf("/warehouse", catalog="pt")
+    assert conf["spark.sql.catalog.pt"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.pt.warehouse"] == "/warehouse"
+    assert table_ref("pages") == "pt.db.pages"
+
+    loc = str(tmp_path / "tables")
+    pages = pages_df(spark, [(1, [100, 102]), (2, [103])])
+    write_pages_partitioned(pages, loc)
+    got = read_pages(spark, loc)
+    assert got.count() == pages.count()
+    assert set(c for c in got.columns if c != "warc_date") == set(pages.columns)
+
+    if not iceberg_available(spark):
+        _pytest.skip("iceberg runtime jar not on classpath (documented fallback path)")

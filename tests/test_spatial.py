@@ -249,3 +249,41 @@ def test_pip_broadcast_and_salted_paths_agree(spark):
     got_s = {r.point_id for r in salted.collect()}
     assert got_b == got_s
     assert 0 < len(got_b) < n
+
+
+def test_knn_k1_fast_path_parity_and_plan(spark):
+    """k=1 routes through the min(struct) partial aggregation: results
+    must equal brute-force nearest (same tie-break), and the plan must
+    be a HashAggregate — not a rank Window, which cannot partial-reduce."""
+    from osm_pt_validator_spark.spatial.knn import knn_join
+
+    rows, probe = _grid_points(spark, 120)
+    build_rows = [(i, 55.9 + i * 2.3e-4, -3.3 + i * 1.7e-4) for i in range(25)]
+    build = spark.createDataFrame(build_rows, "stop_id long, lat double, lon double")
+
+    out = knn_join(probe, build, "point_id", "stop_id", k=1, ring=1, res=14)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the load-bearing property: a partial min BEFORE the exchange, so
+    # the shuffle carries one row per probe, not every candidate.
+    # (min(struct) plans as SortAggregate — struct buffers aren't
+    # hash-aggregable — but partial aggregation is what matters here.)
+    assert "partial_min" in plan, plan
+
+    got = {r.point_id: (r.stop_id, r.distance_m) for r in out.collect()}
+    assert got, "no matches — bad test geometry"
+
+    import math
+
+    def hav(lat1, lon1, lat2, lon2):
+        return 2 * 6371000.0 * math.asin(math.sqrt(
+            math.sin(math.radians(lat2 - lat1) / 2) ** 2
+            + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2) ** 2))
+
+    for pid, plat, plon in rows:
+        if pid not in got:
+            continue  # nearest build cell outside the k-ring — allowed
+        best = min((round(hav(plat, plon, blat, blon), 6), bid)
+                   for bid, blat, blon in build_rows)
+        assert got[pid][0] == best[1], (pid, got[pid], best)
