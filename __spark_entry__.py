@@ -942,6 +942,55 @@ FROM documents GROUP BY 1
 """
 
 
+def q_ngram_counts(spark, sf):
+    """Corpus bigram occurrence counts (LM data prep)."""
+    from osm_pt_validator_spark.operators.text import ngram_counts
+
+    return ngram_counts(_t(spark, sf, "documents"), n=2, min_count=3)
+
+
+def _sql_ngram_counts() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT {toks} AS toks FROM documents),
+g AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS ngram
+  FROM d, UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END) AS t(i))
+SELECT ngram, COUNT(*) AS n FROM g GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-5 TF-IDF terms per document (smoothed idf, 6-dp tie
+    stability)."""
+    from osm_pt_validator_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
+def _sql_tfidf() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM d, UNNEST(toks) AS t(term) GROUP BY 1, 2),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * (ln((n.n_docs + 1) / CAST(df_t.df + 1 AS DOUBLE)) + 1.0), 6) AS score
+  FROM tf JOIN df_t USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(rank AS INT) AS rank,
+  CAST(round(score * 1e6) AS BIGINT) AS score_ppm
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_minhash_sigs(spark, sf):
     from osm_pt_validator_spark.operators.dedup import (
         minhash_signature_from_hashes,
@@ -1283,8 +1332,14 @@ def q_validate_pipeline(spark, sf):
     return verdicts.select("relation_id", "stage_no", "seq", "url", "message")
 
 
+PIP_XS = [-3.30, -3.26, -3.26, -3.28, -3.30]
+PIP_YS = [55.90, 55.90, 55.94, 55.92, 55.94]
+
+
 def q_pip_contained(spark, sf):
-    """Ray-cast PIP (numpy UDF — no SQL oracle)."""
+    """Ray-cast PIP over a literal concave polygon. The even-odd
+    crossing test is replayed edge-by-edge in the oracle (identical
+    float64 expression order), so the numpy path is value-checked."""
     from osm_pt_validator_spark.spatial.pip import points_in_polygons
 
     c = _t(spark, sf, "customer").select(
@@ -1293,10 +1348,44 @@ def q_pip_contained(spark, sf):
         _cust_lon(F.col("c_custkey")).alias("lon"),
     )
     polygons = spark.createDataFrame(
-        [(1, [-3.30, -3.26, -3.26, -3.28, -3.30], [55.90, 55.90, 55.94, 55.92, 55.94])],
+        [(1, PIP_XS, PIP_YS)],
         "polygon_id long, xs array<double>, ys array<double>",
     )
     return points_in_polygons(c, polygons, res=10).select("polygon_id", "point_id")
+
+
+def _sql_pip() -> str:
+    """Even-odd crossings with one term per edge (closing edge
+    included), every literal CAST to DOUBLE so DuckDB does not slip
+    into DECIMAL arithmetic, and x_at_y rendered in the numpy
+    expression order x1 + (py-y1)/(y2-y1)*(x2-x1)."""
+    n = len(PIP_XS)
+    terms = []
+    for a in range(n):
+        b = (a + 1) % n
+        x1, y1 = repr(PIP_XS[a]), repr(PIP_YS[a])
+        x2, y2 = repr(PIP_XS[b]), repr(PIP_YS[b])
+        d = "CAST({} AS DOUBLE)"
+        x1, y1, x2, y2 = d.format(x1), d.format(y1), d.format(x2), d.format(y2)
+        terms.append(
+            f"(CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+            f"px < {x1} + (py - {y1}) / ({y2} - {y1}) * ({x2} - {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    crossings = " + ".join(terms)
+    return f"""
+WITH pts AS (
+  -- literals forced to DOUBLE *inside* the expression: DuckDB would
+  -- otherwise evaluate (k % 97) * 0.001 in exact DECIMAL and only
+  -- cast at the end, while Spark/numpy round each double op — a
+  -- boundary point then flips sides of an edge
+  SELECT c_custkey AS point_id,
+    CAST(55.9 AS DOUBLE) + (c_custkey % 97) * CAST(0.001 AS DOUBLE) AS py,
+    CAST(-3.3 AS DOUBLE) + ((c_custkey * 13) % 89) * CAST(0.001 AS DOUBLE) AS px
+  FROM customer)
+SELECT CAST(1 AS BIGINT) AS polygon_id, point_id
+FROM pts WHERE ({crossings}) % 2 = 1
+"""
 
 
 def _sql_simhash() -> str:
@@ -1599,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text / dedup / similarity
         "doc_stats": wrap(q_doc_stats),
         "doc_quality": wrap(q_doc_quality),
+        "ngram_counts": wrap(q_ngram_counts),
+        "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
@@ -1653,4 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "frame_sample": SQL_FRAME_SAMPLE,
         "gap_prefilter": _sql_gap_prefilter(),
+        "pip_contained": _sql_pip(),
+        "ngram_counts": _sql_ngram_counts(),
+        "tfidf_top_terms": _sql_tfidf(),
     }

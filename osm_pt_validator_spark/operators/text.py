@@ -117,3 +117,88 @@ def analyze_documents(documents: DataFrame) -> DataFrame:
         fingerprint(t).alias("fp"),
         *[c.alias(k) for k, c in feats.items() if k not in ("n_chars", "n_tokens")],
     )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-grams in order (duplicates kept — counting needs
+    occurrences, unlike dedup's distinct shingles). Built as arrays_zip
+    of n shifted slices: the naive transform(sequence(...), slice)
+    form re-evaluates the whole tokenise pipeline per element (see
+    dedup.shingles)."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+
+
+def ngram_counts(
+    documents: DataFrame, n: int = 2, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus n-gram occurrence counts (LM training-data prep).
+
+    Plan: explode n-grams -> groupBy(ngram) count. The aggregation
+    partially combines map-side, so the shuffle carries one row per
+    (partition, distinct ngram) — the right shape for a 10^12-doc
+    corpus; min_count prunes the long tail AFTER the agg (it cannot be
+    pushed below it). Output: (ngram, n).
+    """
+    return (
+        documents.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1
+    (smoothed); score rounded to 6 dp BEFORE ranking so cross-engine
+    ties break identically (then by term asc).
+
+    Plan: one explode -> groupBy(doc, term) for tf (map-side combine);
+    df by a second agg over the tf table (no re-scan of the corpus);
+    N via a broadcast scalar; rank window partitioned by doc.
+    Output: (doc_id, term, rank, score_ppm).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("score") * 1e6).cast("long").alias("score_ppm"),
+        )
+    )

@@ -261,3 +261,38 @@ def test_verdict_failure_heatmap(spark):
     hm = verdict_failure_heatmap(verdicts, nodes_df(spark), z=15).collect()
     assert sum(r.n for r in hm) == node_verdicts > 0
     assert all(r.tile_z == 15 for r in hm)
+
+
+def test_ngram_counts_occurrences_not_distinct(spark):
+    """ngram_counts must count OCCURRENCES (unlike dedup's distinct
+    shingles): a bigram repeated inside one doc counts each time."""
+    from osm_pt_validator_spark.operators.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    got = {r.ngram: r.n for r in ngram_counts(docs, n=2, min_count=1).collect()}
+    # "a b" occurs twice in doc1 ('a b','b a','a b','b c') + once in doc2
+    assert got["a b"] == 3
+    assert got["b a"] == 1
+    assert ngram_counts(docs, n=2, min_count=3).count() == 1  # only "a b"
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    from osm_pt_validator_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common common common unique"),
+            (3, "common filler"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(docs, k=1)
+    got = {r.doc_id: r.term for r in top.collect()}
+    # df(common)=3 -> idf = ln(4/4)+1 = 1.0; df=1 terms -> idf = ln(2)+1
+    # doc1: rare 2*1.693 = 3.39 beats common 1.0
+    # doc2: common 3*1.0 = 3.0 beats unique 1.693
+    # doc3: filler 1.693 beats common 1.0
+    assert got == {1: "rare", 2: "common", 3: "filler"}
