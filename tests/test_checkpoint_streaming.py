@@ -191,3 +191,54 @@ def test_streaming_first_seen_ttl_evicts_and_readmits(spark, tmp_path):
     run_batch([("u1", "again")], "b3", [("u1", "again")])    # u1 re-admitted
 
     assert sink_rows() == [("u1", "again"), ("u1", "first"), ("u9", "other")]
+
+
+def test_streaming_validate_micro_batches(spark, tmp_path):
+    """The full validator applied per micro-batch over a relations
+    stream (foreachBatch + checkpoint): verdicts accumulate across
+    batches and a restart with the same checkpoint does not reprocess."""
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.fixtures import (
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+    from osm_pt_validator_spark.schemas import RELATION_SCHEMA
+    from osm_pt_validator_spark.streaming.validate import streaming_validate
+
+    src = str(tmp_path / "rels_stream")
+    out = str(tmp_path / "verdicts_out")
+    ckpt = str(tmp_path / "validate_ckpt")
+    os.makedirs(src, exist_ok=True)
+    nodes, ways = nodes_df(spark), ways_df(spark)
+
+    def arrive(rows, name):
+        relations_df(spark, rows).coalesce(1).write.parquet(os.path.join(src, name))
+        stream = spark.readStream.schema(RELATION_SCHEMA).parquet(src + "/*")
+        q = streaming_validate(stream, nodes, ways, out, ckpt,
+                               config=ValidationConfig())
+        q.awaitTermination()
+
+    # batch 1: one valid route, one gap route
+    arrive([
+        relation_row(1, stop_members(102, 104) + way_members(3, 4), route_tags()),
+        relation_row(2, stop_members(100, 102) + way_members(1, 3), route_tags()),
+    ], "b1")
+    v1 = spark.read.parquet(out)
+    assert sorted((r.relation_id, r.message) for r in v1.collect()) == [
+        (2, "ways are incorrectly ordered")
+    ]
+
+    # batch 2: a oneway violation arrives; batch 1 NOT reprocessed
+    arrive([
+        relation_row(3, stop_members(107, 110) + way_members(5, 7), route_tags()),
+    ], "b2")
+    v2 = spark.read.parquet(out)
+    assert sorted((r.relation_id, r.message) for r in v2.collect()) == [
+        (2, "ways are incorrectly ordered"),
+        (3, "way with oneway tag is traversed in wrong direction"),
+    ]
