@@ -991,6 +991,25 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_dedup_kept(spark, sf):
+    """Exact dedup survivors: documents minus exact duplicates (keep
+    the min doc_id per normalized-text fingerprint)."""
+    from osm_pt_validator_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents")).select("doc_id")
+
+
+SQL_DEDUP_KEPT = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+    row_number() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+"""
+
+
 def q_minhash_sigs(spark, sf):
     from osm_pt_validator_spark.operators.dedup import (
         minhash_signature_from_hashes,
@@ -1691,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": wrap(q_ngram_counts),
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
+        "dedup_kept": wrap(q_dedup_kept),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "embedding_topk": wrap(q_embedding_topk),
@@ -1732,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": _sql_doc_stats(),
         "doc_quality": _sql_doc_quality(),
         "fingerprint_groups": SQL_FINGERPRINT_GROUPS,
+        "dedup_kept": SQL_DEDUP_KEPT,
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
