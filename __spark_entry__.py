@@ -1010,6 +1010,64 @@ WHERE rn = 1
 """
 
 
+def q_corpus_curate(spark, sf):
+    """End-to-end curation pass (the training-data pipeline composed):
+    exact-dedup survivors, language-ID == 'en', quality score >= 50.
+    One scan; every predicate is column algebra over existing ops."""
+    from osm_pt_validator_spark.operators.dedup import exact_dedup
+    from osm_pt_validator_spark.operators.text import lang_id, quality_score
+
+    d = exact_dedup(_t(spark, sf, "documents"))
+    t = F.col("text")
+    return d.filter((lang_id(t) == "en") & (quality_score(t) >= 50)).select("doc_id")
+
+
+def _sql_corpus_curate() -> str:
+    from osm_pt_validator_spark.operators.text import LANG_STOPWORDS
+
+    toks = _SQL_TOKENS.format(t="text")
+    c_en = _sql_stop_count(LANG_STOPWORDS["en"])
+    c_de = _sql_stop_count(LANG_STOPWORDS["de"])
+    c_fr = _sql_stop_count(LANG_STOPWORDS["fr"])
+    c_es = _sql_stop_count(LANG_STOPWORDS["es"])
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+d AS (SELECT doc_id, text, {toks} AS toks FROM kept),
+c AS (SELECT doc_id, text, toks,
+  {c_en} AS c_en, {c_de} AS c_de, {c_fr} AS c_fr, {c_es} AS c_es FROM d),
+feat AS (
+  SELECT doc_id, c_en, c_de, c_fr, c_es,
+    CAST(len(text) AS DOUBLE) AS n,
+    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+    CAST(len(toks) AS DOUBLE) AS toks_n
+  FROM c),
+r AS (
+  SELECT doc_id, c_en, c_de, c_fr, c_es,
+    round(alpha / (CASE WHEN n > 0 THEN n ELSE 1.0 END), 6) AS alpha_ratio,
+    round(digit / (CASE WHEN n > 0 THEN n ELSE 1.0 END), 6) AS digit_ratio,
+    round(CAST(c_en AS DOUBLE) / (CASE WHEN toks_n > 0 THEN toks_n ELSE 1.0 END), 6) AS stopword_ratio,
+    round(alpha / (CASE WHEN toks_n > 0 THEN toks_n ELSE 1.0 END), 6) AS mean_token_len
+  FROM feat),
+q AS (
+  SELECT doc_id, c_en, c_de, c_fr, c_es,
+    CAST(round(40.0 * alpha_ratio
+      + 30.0 * LEAST(stopword_ratio * 2, 1.0)
+      + 15.0 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.0 END)
+      + 15.0 * (1.0 - LEAST(digit_ratio * 5, 1.0))) AS INT) AS quality
+  FROM r)
+SELECT doc_id FROM q
+WHERE quality >= 50
+  AND NOT (c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0)
+  AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+"""
+
+
 def q_minhash_sigs(spark, sf):
     from osm_pt_validator_spark.operators.dedup import (
         minhash_signature_from_hashes,
@@ -1711,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
         "dedup_kept": wrap(q_dedup_kept),
+        "corpus_curate": wrap(q_corpus_curate),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "embedding_topk": wrap(q_embedding_topk),
@@ -1753,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _sql_doc_quality(),
         "fingerprint_groups": SQL_FINGERPRINT_GROUPS,
         "dedup_kept": SQL_DEDUP_KEPT,
+        "corpus_curate": _sql_corpus_curate(),
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
