@@ -51,12 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     ways = spark.read.parquet(f"{args.tables}/ways.parquet")
     relations = spark.read.parquet(f"{args.tables}/relations.parquet")
 
-    # validate_all fans relations into several branches (routes /
-    # masters / unknown / master-member join) — persist so the filtered
-    # work-set is scanned once, not once per branch
     from pyspark.storagelevel import StorageLevel
-
-    relations = relations.persist(StorageLevel.MEMORY_AND_DISK)
 
     # (config, relation-subset) work sets. The reference builds one
     # validator per routes file from that file's config block
@@ -65,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     # dir still runs as a single plan.
     work_sets: list[tuple[ValidationConfig, "object"]] = []
     gone = None
+    gone_handled = None
     if args.relation_id:
         # reference -r path: Config{NaptanPlatformTags: npt}, npt
         # defaulting FALSE (scripts/validate/main.go:25-26,117)
@@ -78,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         # dropped: the reference's HTTP-410 path emits
         # "relation no longer exists" (cmd/validate-rm/main.go:59-63)
         gone = missing_relation_verdicts(worklist, relations)
+        gone_handled = worklist.select("relation_id").distinct()
         by_cfg: dict[ValidationConfig, list[str]] = {}
         for path, cfg in configs.items():
             by_cfg.setdefault(cfg, []).append(path)
@@ -92,8 +89,27 @@ def main(argv: list[str] | None = None) -> int:
         work_sets.append((DEFAULT_CONFIG, relations))
 
     def _validate():
+        # validate_all fans each work set into several branches (routes /
+        # masters / unknown / master-member join) — persist the FILTERED
+        # subset so it is computed once, not once per branch. Persisting
+        # the raw relations table instead would cache the whole table on
+        # a --relation-id run AND put a cache barrier in front of the
+        # parquet scan, blocking predicate pushdown of the work filter.
+        # gone_handled: a work-list id that is missing AND a member of a
+        # present route master would otherwise get "relation no longer
+        # exists" twice — once from the jobs-level gone set above and
+        # once from validate_all's master-member gone path. Routes mode
+        # supplies its own gone verdicts, so validate_all excludes the
+        # work-list ids from its master-member gone.
         parts = [
-            validate_all(rels, nodes, ways, cfg)[0] for cfg, rels in work_sets
+            validate_all(
+                rels.persist(StorageLevel.MEMORY_AND_DISK),
+                nodes,
+                ways,
+                cfg,
+                gone_handled=gone_handled,
+            )[0]
+            for cfg, rels in work_sets
         ]
         if gone is not None:
             parts.append(gone)

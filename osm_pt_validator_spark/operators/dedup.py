@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -55,10 +55,21 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Documents minus exact duplicates (keep the min doc_id per
-    fingerprint) — the canonical first pass of a data pipeline."""
-    ranked = documents.withColumn("fp", fingerprint(F.col("text")))
-    keep = ranked.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return ranked.join(keep, ["fp", "doc_id"], "inner").drop("fp")
+    fingerprint) — the canonical first pass of a data pipeline.
+
+    Shape: ONE window (row_number over fp, ordered by doc_id) = one
+    scan of the corpus + one shuffle on fp. The groupBy-min +
+    self-join alternative computes the fingerprinted corpus subtree
+    TWICE and shuffles twice — at 100 TB this is the first pass of the
+    pipeline, where an extra full-corpus scan is the single most
+    expensive redundancy possible."""
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        documents.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("fp", "__rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -235,10 +246,11 @@ def make_simhash_udf(bits: int = 64):
     """Arrow-batched SimHash over word tokens, vectorized across the
     WHOLE batch: tokenisation via pandas str ops, md5 computed once per
     *unique* token in the batch (the vocabulary — typically 10-100×
-    smaller than the token stream), and the per-document ±1 bit votes
-    accumulated with one np.add.at scatter. No per-row Python loop —
-    at 100 TB the cost is O(vocab) hashes + O(tokens) numpy adds per
-    batch, not O(tokens) hashlib calls."""
+    smaller than the token stream), and the per-document bit votes
+    accumulated one bit-plane at a time with np.bincount (peak memory
+    O(tokens + rows*bits), never the (tokens, bits) vote matrix). No
+    per-row Python loop — at 100 TB the cost is O(vocab) hashes +
+    O(tokens*bits) numpy adds per batch, not O(tokens) hashlib calls."""
 
     @pandas_udf(T.LongType())
     def simhash(text: pd.Series) -> pd.Series:
@@ -265,20 +277,21 @@ def make_simhash_udf(bits: int = 64):
             dtype=np.uint64,
             count=len(uniq),
         )
-        # (vocab, bits) ±1 votes, scattered onto (rows, bits)
-        votes = (
-            2
-            * ((uhash[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            - 1
-        )
-        acc = np.zeros((n_rows, bits), dtype=np.int64)
-        np.add.at(acc, doc_idx, votes[inv])
-        sig = (
-            ((acc > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64))
-            .sum(axis=1, dtype=np.uint64)
-        )
+        # Per-bit-plane accumulation. Materialising the full
+        # (tokens_in_batch, bits) ±1 vote matrix (votes[inv]) before a
+        # scatter costs ~512 B/token — a 10k-row batch of 1k-token docs
+        # peaks near 5 GB/task. Instead: expand hashes to the token
+        # stream once (8 B/token), then per bit count the set tokens per
+        # doc with one bincount — the sign of the vote sum is
+        # (2*ones > total), bit-identical to acc>0 since
+        # acc = ones - zeros = 2*ones - total. Peak memory
+        # O(tokens + rows*bits); arithmetic still O(tokens*bits) adds.
+        tok_hash = uhash[inv]
+        sig = np.zeros(n_rows, dtype=np.uint64)
+        for bit in range(bits):
+            set_mask = ((tok_hash >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+            ones = np.bincount(doc_idx[set_mask], minlength=n_rows)
+            sig |= (2 * ones > lens).astype(np.uint64) << np.uint64(bit)
         return pd.Series(sig.astype(np.int64))
 
     return simhash

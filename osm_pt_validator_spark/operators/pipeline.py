@@ -147,6 +147,7 @@ def validate_all(
     nodes: DataFrame,
     ways: DataFrame,
     config: ValidationConfig = DEFAULT_CONFIG,
+    gone_handled: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """O1 type dispatch (scripts/validate/main.go:128-138) +
     O2 route_master split (cmd/validate-rm/main.go:118-168).
@@ -154,6 +155,11 @@ def validate_all(
     route_master members are validated as route relations one level
     deep; unknown relation types go to the engine-error channel
     (reference: Go error "unknown relation type").
+
+    gone_handled: relation_ids whose "relation no longer exists"
+    verdicts the CALLER already emits (jobs.py routes mode) — excluded
+    from the master-member gone path so a missing id that is both on
+    the work list and a master member gets ONE verdict, not two.
     """
     rel_type = F.col("tags").getItem("type")
     routes = relations.filter(rel_type == "route")
@@ -168,6 +174,8 @@ def validate_all(
     # exists" verdict (cmd/validate-rm/main.go:59-63,77-96).
     work = split_route_master_members(masters)
     gone = missing_relation_verdicts(work, relations)
+    if gone_handled is not None:
+        gone = gone.join(F.broadcast(gone_handled), "relation_id", "left_anti")
     member_routes = relations.join(
         F.broadcast(work.select("relation_id").distinct()), "relation_id", "left_semi"
     )

@@ -4,7 +4,7 @@ Local testing runs ``local[N]`` single-JVM; the conf below is chosen so
 the same code runs unchanged on a multi-executor cluster:
 
   * AQE on — runtime coalescing of shuffle partitions + skew-join
-    splitting (our explicit salting in ``operators/skew.py`` handles the
+    splitting (our explicit salting in ``spatial/joins.py`` handles the
     pathological cell-skew AQE cannot see ahead of time).
   * Arrow on — every Python boundary in this engine is Arrow-batched.
   * ``spark.sql.shuffle.partitions`` scales with parallelism instead of

@@ -76,10 +76,18 @@ def knn_join(
         # one row per probe row instead of every k-ring candidate
         # (~9×candidate-density fewer rows at 100 TB). The rank window
         # below can never partial-reduce: it must see all candidates.
+        # Group by probe_keys ONLY (the documented unique row key):
+        # grouping by every probe column would throw on ungroupable
+        # column types (MapType) that the window path handles fine.
+        # first() of the other columns is deterministic because
+        # probe_key uniquely identifies the row — every candidate in a
+        # group carries identical probe-column values.
+        other_cols = [c for c in probe.columns if c not in probe_keys]
         return (
-            joined.groupBy(*[F.col(c) for c in probe.columns])
+            joined.groupBy(*[F.col(c) for c in probe_keys])
             .agg(
-                F.min(F.struct(F.col("distance_m"), F.col(build_key))).alias("__best")
+                *[F.first(F.col(c)).alias(c) for c in other_cols],
+                F.min(F.struct(F.col("distance_m"), F.col(build_key))).alias("__best"),
             )
             .select(
                 *probe.columns,

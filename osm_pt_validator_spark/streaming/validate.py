@@ -6,9 +6,12 @@ per relation, cmd/validate-route/main.go); the Spark-native equivalent
 is a Structured Streaming source of relation rows micro-batched through
 the SAME batch operators via ``foreachBatch``: each micro-batch runs
 `validate_all` (dims joined as static DataFrames — stream-static joins
-in their natural Spark form) and appends to a verdicts sink. Exactly-
-once comes from the streaming checkpoint: a replayed micro-batch
-re-runs deterministically and the sink epoch dedupes.
+in their natural Spark form) and writes verdicts to a parquet sink.
+foreachBatch is at-least-once — a micro-batch can be REPLAYED after a
+failure/restart — so the sink must be idempotent per batch: each batch
+overwrites its own deterministic ``batch_id=<id>`` partition directory,
+making the replay a no-op instead of an append-duplicate. Readers scan
+``out_path`` and see ``batch_id`` as a partition column.
 
 Why foreachBatch and not a fully incremental plan: the validator needs
 multi-join + grouped-Arrow stages per relation, which are per-row
@@ -44,14 +47,14 @@ def streaming_validate(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         verdicts, _errors = validate_all(batch_df, nodes, ways, config)
-        (
-            verdicts.write.mode("append").parquet(out_path)
-        )
+        # idempotent per-batch sink: a replayed micro-batch (foreachBatch
+        # is at-least-once) overwrites ITS OWN partition dir instead of
+        # appending duplicates to a shared file set
+        verdicts.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     writer = (
         relations_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -349,3 +349,41 @@ def test_rendered_verdict_strings_match_go_println(spark, dims):
     ]
     assert inv[77777] == ["relation no longer exists - "]
     assert inv[77778] == ["relation no longer exists - "]
+
+
+def test_nested_route_master_member_validated_as_route(spark, dims):
+    """A route_master whose member is ITSELF a route_master: the
+    reference validates every master member as a route, unconditionally
+    (scripts/validate/main.go:147-160 calls validateRoute regardless of
+    the member's own type tag), so the nested master gets route-stage
+    verdicts (here: the PTv2 gate fires — master tags carry no
+    public_transport:version) IN ADDITION to its own master validation
+    from being a route_master in the input set."""
+    nodes, ways = dims
+    inner = relation_row(
+        9721,
+        [member("relation", 9722)],
+        {"type": "route_master", "name": "I", "ref": "I", "operator": "Op"},
+    )
+    outer = relation_row(
+        9720,
+        [member("relation", 9721)],
+        {"type": "route_master", "name": "O", "ref": "O", "operator": "Op"},
+    )
+    route = relation_row(9722, stop_members(102, 104) + way_members(3, 4), route_tags())
+    rels = relations_df(spark, [outer, inner, route])
+    verdicts, _ = validate_all(
+        rels, nodes, ways, ValidationConfig(minimum_route_variants=2)
+    )
+    from osm_pt_validator_spark.operators.pipeline import MSG_PTV2
+
+    # outer master: only its own master validation (1 variant < 2)
+    assert [m for _, m in sorted_verdicts(verdicts, 9720)] == [
+        "not enough route variants"
+    ]
+    # nested master: master validation AND route validation (PTv2 gate)
+    assert sorted(m for _, m in sorted_verdicts(verdicts, 9721)) == sorted(
+        ["not enough route variants", MSG_PTV2]
+    )
+    # the nested master's own member is still fanned out and valid
+    assert sorted_verdicts(verdicts, 9722) == []

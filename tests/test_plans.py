@@ -194,3 +194,25 @@ def test_dim_joins_broadcast_small_and_hash_large(spark, tmp_path):
             assert "SortMergeJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_exact_dedup_single_scan_single_shuffle(spark):
+    """exact_dedup is the FIRST pass of the 100 TB pipeline: it must
+    scan the corpus exactly once (window row_number, not groupBy +
+    self-join which computes the fingerprinted subtree twice) and
+    shuffle exactly once (on fp)."""
+    from osm_pt_validator_spark.operators.dedup import exact_dedup
+
+    import re
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = plan_of(exact_dedup(docs))
+    # count node DETAIL headers ("(n) Scan parquet") — the formatted
+    # plan also repeats each operator once in the tree summary
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    # bonus of the window form: Spark pushes a WindowGroupLimit below
+    # the exchange, so each map task pre-prunes to 1 row per fp
+    assert "WindowGroupLimit" in plan, plan

@@ -321,3 +321,44 @@ def test_iceberg_source_gating_and_fallback(spark, tmp_path):
 
     if not iceberg_available(spark):
         _pytest.skip("iceberg runtime jar not on classpath (documented fallback path)")
+
+
+def test_job_gone_worklist_id_also_master_member_single_verdict(spark, tmp_path):
+    """A missing relation id that is BOTH on the work list and a member
+    of a present route master must get exactly ONE 'relation no longer
+    exists' verdict — the jobs-level gone set supplies it and
+    validate_all's master-member gone path excludes work-list ids
+    (gone_handled) rather than double-emitting."""
+    from osm_pt_validator_spark.fixtures import member, relation_row
+    from osm_pt_validator_spark.jobs import main
+
+    tables = tmp_path / "tables"
+    _write_tables(
+        spark, tables,
+        [relation_row(
+            9005,
+            [member("relation", 404404)],
+            {"type": "route_master", "name": "M", "ref": "M", "operator": "Op"},
+        )],
+    )
+    routes = tmp_path / "routes.json"
+    doc = {
+        "config": {},
+        "routes": {"g": [
+            {"name": "master", "relation_id": 9005},
+            {"name": "stale", "relation_id": 404404},
+        ]},
+    }
+    with open(routes, "w") as f:
+        json.dump(doc, f)
+
+    out = tmp_path / "out"
+    rc = main(["--tables", str(tables), "--routes", str(routes), "--out", str(out), "--cpus", "4"])
+    assert rc == 1
+    verdicts = spark.read.parquet(str(out / "verdicts"))
+    gone_rows = verdicts.filter(
+        "message = 'relation no longer exists'"
+    ).collect()
+    assert [(r.relation_id, r.message) for r in gone_rows] == [
+        (404404, "relation no longer exists")
+    ]
