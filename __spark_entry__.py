@@ -1350,8 +1350,12 @@ GROUP BY 1, 2
 
 
 def q_way_order_verdicts(spark, sf):
-    """Frontier automaton + stop order over ALL fixture way-order cases
-    (sequential per-relation semantics — no SQL oracle)."""
+    """Frontier automaton over ALL fixture way-order cases — the exact
+    relations way_order_test.go builds (way members only, no stops —
+    setupWays, way_order_test.go:160-166). The oracle is a golden
+    VALUES table generated from the SAME ported Go expectations the
+    fixtures carry — an independent source (the reference's test
+    expectations), not a replay of this engine."""
     from osm_pt_validator_spark.config import ValidationConfig
     from osm_pt_validator_spark.fixtures import (
         WAY_ORDER_CASES,
@@ -1359,22 +1363,47 @@ def q_way_order_verdicts(spark, sf):
         relation_row,
         relations_df,
         route_tags,
-        stop_members,
         way_members,
         ways_df,
     )
     from osm_pt_validator_spark.operators.pipeline import validate_route_relations
 
     rows = [
-        relation_row(9000 + i, stop_members(100, 102) + way_members(*way_ids), route_tags())
+        relation_row(9000 + i, way_members(*way_ids), route_tags())
         for i, (_n, way_ids, ignore, _e) in enumerate(WAY_ORDER_CASES)
         if not ignore
     ]
     verdicts, _ = validate_route_relations(
         relations_df(spark, rows), nodes_df(spark), ways_df(spark), ValidationConfig()
     )
-    return verdicts.filter(F.col("stage_no").isin(4, 5, 6)).select(
+    return verdicts.filter(F.col("stage_no").isin(4, 5)).select(
         "relation_id", "stage_no", "seq", "url", "message"
+    )
+
+
+def _sql_way_order_verdicts() -> str:
+    """Golden VALUES oracle built from the fixture-carried Go
+    expectations (way_order_test.go:34-137): stage 4 = ordering errors,
+    stage 5 = oneway errors; each failing case emits exactly one
+    verdict, so seq = 0."""
+    from osm_pt_validator_spark.fixtures import WAY_ORDER_CASES
+
+    ord_msg = "ways are incorrectly ordered"
+    rows = []
+    for i, (_name, _way_ids, ignore, expected) in enumerate(WAY_ORDER_CASES):
+        if ignore:
+            continue
+        for url, msg in expected:
+            stage = 4 if msg == ord_msg else 5
+            rows.append(
+                f"(CAST({9000 + i} AS BIGINT), {stage}, CAST(0 AS BIGINT), "
+                f"'{url}', '{msg}')"
+            )
+    values = ",\n  ".join(rows)
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + values
+        + "\n) AS t(relation_id, stage_no, seq, url, message)"
     )
 
 
@@ -1407,6 +1436,32 @@ def q_validate_pipeline(spark, sf):
         ValidationConfig(minimum_route_variants=2),
     )
     return verdicts.select("relation_id", "stage_no", "seq", "url", "message")
+
+
+#: Golden oracle for validate_pipeline, hand-derived from the
+#: reference's semantics (NOT by running this engine):
+#:   rel 1 valid route -> none; rel 2 ways 1,3 share no node -> the
+#:   gap verdict on way 3 (way_order.go:36-98, test case "invalid
+#:   route"); rel 3 PTv2=1 -> exactly the version verdict and nothing
+#:   else (route_relation.go:18-21); rel 4 master -> way member at
+#:   member_idx 1 is not a relation, 1 variant < 2, operator tag
+#:   missing (route_master.go:7-27, emission order member->variants->
+#:   tags mirrored by seq with the tail block at 1e9).
+SQL_VALIDATE_PIPELINE = """
+SELECT * FROM (VALUES
+  (CAST(2 AS BIGINT), 4, CAST(0 AS BIGINT),
+   'https://www.openstreetmap.org/way/3', 'ways are incorrectly ordered'),
+  (CAST(3 AS BIGINT), 0, CAST(0 AS BIGINT),
+   'https://www.openstreetmap.org/relation/3',
+   'tag ''public_transport:version'' should have value ''2'''),
+  (CAST(4 AS BIGINT), 0, CAST(1 AS BIGINT),
+   'https://www.openstreetmap.org/way/5', 'member is not a relation'),
+  (CAST(4 AS BIGINT), 0, CAST(1000000000 AS BIGINT),
+   'https://www.openstreetmap.org/relation/4', 'not enough route variants'),
+  (CAST(4 AS BIGINT), 0, CAST(1000000001 AS BIGINT),
+   'https://www.openstreetmap.org/relation/4', 'missing tag ''operator''')
+) AS t(relation_id, stage_no, seq, url, message)
+"""
 
 
 PIP_XS = [-3.30, -3.26, -3.26, -3.28, -3.30]
@@ -1712,6 +1767,37 @@ def q_verdict_heatmap(spark, sf):
     return verdict_failure_heatmap(verdicts, nodes_df(spark), z=15)
 
 
+def _sql_verdict_heatmap() -> str:
+    """Golden oracle for verdict_heatmap. The failing stop set is
+    hand-derived from the reference's greedy stop matcher
+    (stop_order.go semantics, ported cases stop_order_test.go:10-130):
+      rel 1 (ways 3,4; stops 104 then 102): node order is way 3
+        forward [102,103,105,104] then the circular way 4 — stop 104
+        matches at index 3, then 102 only occurs BEFORE the cursor ->
+        'stop is incorrectly ordered' at node 102;
+      rel 2 (ways 1,2; stops 106 then 100): node order
+        [100,101]+[101,102] — 106 appears nowhere -> 'stop is not on
+        route' at node 106; 100 then matches at the cursor.
+    Tiles are computed by the documented slippy formula from the
+    documented fixture coordinate rule (FIXTURES.md §7:
+    lat = 55.90 + id*1e-4, lon = -3.30 + id*1e-4), not by the engine.
+    """
+    return f"""
+WITH failures(node_id) AS (VALUES (102), (106)),
+pts AS (
+  SELECT CAST(55.90 AS DOUBLE) + node_id * CAST(1e-4 AS DOUBLE) AS lat,
+         CAST(-3.30 AS DOUBLE) + node_id * CAST(1e-4 AS DOUBLE) AS lon
+  FROM failures
+)
+SELECT 15 AS tile_z,
+       {_sql_tile_x("lon", 15)} AS tile_x,
+       {_sql_tile_y("lat", 15)} AS tile_y,
+       COUNT(*) AS n
+FROM pts
+GROUP BY 1, 2, 3
+"""
+
+
 def q_mentions_extract(spark, sf):
     """G1+G2 over pages synthesized from documents (Arrow UDF path)."""
     from osm_pt_validator_spark.sources.pages import extract_mentions
@@ -1828,4 +1914,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_contained": _sql_pip(),
         "ngram_counts": _sql_ngram_counts(),
         "tfidf_top_terms": _sql_tfidf(),
+        # golden VALUES oracles transcribed from the reference's test
+        # expectations (the automaton itself is not SQL-expressible,
+        # but its expected outputs on the fixture cases are constants)
+        "way_order_verdicts": _sql_way_order_verdicts(),
+        "validate_pipeline": SQL_VALIDATE_PIPELINE,
+        "verdict_heatmap": _sql_verdict_heatmap(),
     }
