@@ -1608,37 +1608,61 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+#: The real-format rows replay the PAYLOAD CONSTRUCTION RULE
+#: (fixtures.media_payload: dims/duration are arithmetic in doc_id) —
+#: if the engine's stdlib header parsers read the wrong bytes, the
+#: parsed values would not match these independently computed ones.
+#: The unknown-format rows (doc_id%4==3) replay the documented md5
+#: fake tier.
 SQL_MEDIA_DECODE = """
 WITH media AS (
-  SELECT doc_id AS media_id,
-    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-    text, md5(text) AS h
+  SELECT doc_id AS media_id, doc_id % 4 AS m, text, md5(text) AS h
   FROM documents)
-SELECT media_id, kind,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN kind = 'image'
-       THEN 16 + ('0x' || substr(h, 1, 2))::INT % 240 ELSE 0 END AS INT) AS width,
-  CAST(CASE WHEN kind = 'image'
-       THEN 16 + ('0x' || substr(h, 3, 2))::INT % 240 ELSE 0 END AS INT) AS height,
-  CAST(CASE WHEN kind IN ('audio', 'video')
-       THEN 100 + ('0x' || substr(h, 5, 4))::INT % 60000 ELSE 0 END AS INT) AS duration_ms
+SELECT media_id,
+  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+         WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE m WHEN 0 THEN 33 WHEN 1 THEN 23 WHEN 2 THEN 108
+       ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+  CAST(CASE m WHEN 0 THEN 16 + media_id % 240
+              WHEN 1 THEN 16 + media_id % 200 ELSE 0 END AS INT) AS width,
+  CAST(CASE m WHEN 0 THEN 16 + (media_id // 7) % 240
+              WHEN 1 THEN 16 + (media_id // 3) % 200 ELSE 0 END AS INT) AS height,
+  CAST(CASE m WHEN 2 THEN 100 + (media_id % 120) * 50
+              WHEN 3 THEN 100 + ('0x' || substr(h, 5, 4))::INT % 60000
+              ELSE 0 END AS INT) AS duration_ms
 FROM media
 """
 
 
 def q_media_decode(spark, sf):
-    """Multimodal plumbing over synthesized binary payloads. The decode
-    is the documented deterministic stub (md5-derived), which makes it
-    SQL-replayable: the oracle recomputes width/height/duration from
-    md5(text) — so the whole mapInPandas plumbing is value-checked."""
+    """Multimodal decode over REAL container payloads: PNG/JPEG/WAV
+    headers synthesized per doc_id (fixtures.media_payload) are parsed
+    for real by stdlib struct (multimodal._parse_headers); one residue
+    class stays an unknown format to exercise the documented md5 fake
+    tier. The oracle replays the construction arithmetic, so the
+    parsers are value-checked byte-for-byte."""
+    from osm_pt_validator_spark.fixtures import media_payload
     from osm_pt_validator_spark.operators.multimodal import decode_media
 
-    media = _t(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.create_map().cast("map<string,string>").alias("meta"),
+    def synth(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            kinds, payloads = [], []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                k, p = media_payload(int(i), txt)
+                kinds.append(k)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    media = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+        .mapInPandas(synth, "media_id long, kind string, payload binary")
+        .withColumn("meta", F.create_map().cast("map<string,string>"))
     )
     return decode_media(media).select(
         "media_id", "kind", "n_bytes", "width", "height", "duration_ms"

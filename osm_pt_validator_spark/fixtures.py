@@ -297,3 +297,77 @@ def pages_rows(relation_specs: list[tuple[int, list[int]]]) -> list[tuple]:
 
 def pages_df(spark: SparkSession, relation_specs: list[tuple[int, list[int]]]) -> DataFrame:
     return spark.createDataFrame(pages_rows(relation_specs), PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real-format media payloads (for operators/multimodal.py header parsing)
+# ---------------------------------------------------------------------------
+
+
+def png_payload(width: int, height: int) -> bytes:
+    """A minimal REAL PNG header: signature + IHDR chunk carrying the
+    given dimensions (PNG spec 11.2.2; CRC left zero — header parsers
+    don't verify it)."""
+    import struct as _s
+
+    ihdr = _s.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def jpeg_payload(width: int, height: int) -> bytes:
+    """A minimal REAL JPEG marker stream: SOI, an APP0 segment (so the
+    parser must actually walk markers), an SOF0 frame header with the
+    given dimensions, EOI. 23 bytes total."""
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 4) + b"JF"
+    sof = (
+        b"\xff\xc0"
+        + _s.pack(">H", 11)
+        + b"\x08"
+        + _s.pack(">HH", height, width)
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def wav_payload(duration_ms: int, byte_rate: int = 8000) -> bytes:
+    """A REAL RIFF/WAVE header whose fmt byte_rate and data-chunk size
+    encode the given duration exactly (data bytes truncated to 64 —
+    header parsers use the declared size). 108 bytes total."""
+    import struct as _s
+
+    data_size = duration_ms * byte_rate // 1000
+    fmt = _s.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + _s.pack("<I", 16)
+        + fmt
+        + b"data"
+        + _s.pack("<I", data_size)
+        + b"\x00" * min(data_size, 64)
+    )
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def media_payload(doc_id: int, text: str) -> tuple[str, bytes]:
+    """(kind, payload) for the contract media fixture — deterministic
+    per doc_id so a SQL oracle can replay the expected header fields
+    from the SAME arithmetic rules:
+      doc_id %4 == 0: PNG   w=16+id%240, h=16+(id//7)%240 (33 bytes)
+      doc_id %4 == 1: JPEG  w=16+id%200, h=16+(id//3)%200 (23 bytes)
+      doc_id %4 == 2: WAV   duration=100+(id%120)*50 ms  (108 bytes)
+      doc_id %4 == 3: unknown format (utf-8 text) -> md5 fake tier
+    """
+    m = doc_id % 4
+    if m == 0:
+        return "image", png_payload(16 + doc_id % 240, 16 + (doc_id // 7) % 240)
+    if m == 1:
+        return "image", jpeg_payload(16 + doc_id % 200, 16 + (doc_id // 3) % 200)
+    if m == 2:
+        return "audio", wav_payload(100 + (doc_id % 120) * 50)
+    return "video", text.encode("utf-8")

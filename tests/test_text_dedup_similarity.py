@@ -296,3 +296,41 @@ def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
     # doc2: common 3*1.0 = 3.0 beats unique 1.693
     # doc3: filler 1.693 beats common 1.0
     assert got == {1: "rare", 2: "common", 3: "filler"}
+
+
+def test_media_real_header_decode(spark):
+    """PNG/JPEG dimensions and WAV duration are parsed for REAL from
+    the container headers (stdlib struct) — not the md5 fake, which now
+    only covers unknown formats."""
+    from osm_pt_validator_spark.fixtures import (
+        jpeg_payload,
+        png_payload,
+        wav_payload,
+    )
+    from osm_pt_validator_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png_payload(640, 480)), {}),
+            (2, "image", bytearray(jpeg_payload(1024, 768)), {}),
+            (3, "audio", bytearray(wav_payload(2500)), {}),
+            (4, "video", bytearray(b"no such container format"), {}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    d = {r.media_id: r for r in decode_media(media).collect()}
+    assert (d[1].width, d[1].height, d[1].duration_ms) == (640, 480, 0)
+    assert (d[2].width, d[2].height, d[2].duration_ms) == (1024, 768, 0)
+    assert (d[3].width, d[3].height, d[3].duration_ms) == (0, 0, 2500)
+    # unknown format falls back to the documented md5 fake
+    assert d[4].duration_ms > 0
+
+    # require_real: parseable headers succeed, unknown formats raise
+    parseable = media.filter("media_id < 4")
+    ok = decode_media(parseable, require_real=True).collect()
+    assert len(ok) == 3
+    import pytest as _pt
+
+    with _pt.raises(Exception) as ei:
+        decode_media(media, require_real=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "no parseable header" in str(ei.value)
