@@ -320,7 +320,10 @@ def test_iceberg_source_gating_and_fallback(spark, tmp_path):
     assert set(c for c in got.columns if c != "warc_date") == set(pages.columns)
 
     if not iceberg_available(spark):
-        _pytest.skip("iceberg runtime jar not on classpath (documented fallback path)")
+        _pytest.skip(
+            "iceberg runtime jar not on classpath (documented fallback "
+            "path; CI-form run: scripts/iceberg_smoke.py — see README)"
+        )
 
 
 def test_job_gone_worklist_id_also_master_member_single_verdict(spark, tmp_path):
