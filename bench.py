@@ -65,18 +65,22 @@ def _pages_from_lineitem(spark, sf_dir):
     )
 
 
-def bench_extract_mentions(spark, sf_dir):
+def _build_extract(spark, sf_dir):
     from osm_pt_validator_spark.sources.pages import extract_text_udf
 
     pages = _pages_from_lineitem(spark, sf_dir)
-    # G1 extraction + G2-shaped mention count in one pass
-    n_pages = pages.count()
-    extracted = pages.select(
+    return pages.select(
         "url", extract_text_udf(F.col("html")).alias("text")
     ).select(
         F.sum(F.length("text")).alias("chars"),
         F.count(F.lit(1)).alias("docs"),
-    ).collect()[0]
+    )
+
+
+def bench_extract_mentions(spark, sf_dir):
+    # G1 extraction + G2-shaped mention count in one pass
+    n_pages = _pages_from_lineitem(spark, sf_dir).count()
+    extracted = _build_extract(spark, sf_dir).collect()[0]
     return {"docs": n_pages, "chars": int(extracted.chars)}
 
 
@@ -143,19 +147,22 @@ def _synth_osm(spark):
     return nodes, ways, relations
 
 
-def bench_validation(spark, sf_dir):
+def _build_validation(spark):
     from osm_pt_validator_spark.config import ValidationConfig
     from osm_pt_validator_spark.operators.pipeline import validate_route_relations
 
     nodes, ways, relations = _synth_osm(spark)
-    verdicts, errors = validate_route_relations(
+    verdicts, _errors = validate_route_relations(
         relations, nodes, ways, ValidationConfig()
     )
-    n = verdicts.count()
-    return {"relations": _N_RELS, "verdicts": n}
+    return verdicts
 
 
-def bench_spatial_join(spark, sf_dir):
+def bench_validation(spark, sf_dir):
+    return {"relations": _N_RELS, "verdicts": _build_validation(spark).count()}
+
+
+def _build_spatial_join(spark, sf_dir):
     from osm_pt_validator_spark.functions.geo import cell
     from osm_pt_validator_spark.spatial.joins import salted_equi_join
 
@@ -172,9 +179,12 @@ def bench_spatial_join(spark, sf_dir):
         cell(55.9 + (sk % 40) * 0.002, -3.3 + ((sk * 3) % 40) * 0.002, 12).alias("cell"),
     )
     hot = points.groupBy("cell").count().filter(F.col("count") > 20000).select("cell")
-    joined = salted_equi_join(points, stops, "cell", salt_factor=8, hot=hot,
-                              probe_salt_col="point_id")
-    return {"join_rows": joined.count()}
+    return salted_equi_join(points, stops, "cell", salt_factor=8, hot=hot,
+                            probe_salt_col="point_id")
+
+
+def bench_spatial_join(spark, sf_dir):
+    return {"join_rows": _build_spatial_join(spark, sf_dir).count()}
 
 
 def _knn_dims(spark, sf_dir):
@@ -191,55 +201,60 @@ def _knn_dims(spark, sf_dir):
     return c, s
 
 
-def bench_knn(spark, sf_dir):
+def _build_knn(spark, sf_dir, k):
     from osm_pt_validator_spark.spatial.knn import knn_join
 
     c, s = _knn_dims(spark, sf_dir)
     # res=13 (~0.022 deg cells): the ~0.1 deg point box spans ~20 cells,
     # so candidates stay local. (res=8 put the whole box in ONE cell —
     # a single join key, i.e. a full cross join through one partition.)
-    return {
-        "knn_rows": knn_join(
-            c, s, probe_key="c_custkey", build_key="stop_id", k=2, ring=1, res=13
-        ).count()
-    }
+    return knn_join(c, s, probe_key="c_custkey", build_key="stop_id", k=k, ring=1, res=13)
+
+
+def bench_knn(spark, sf_dir):
+    return {"knn_rows": _build_knn(spark, sf_dir, k=2).count()}
 
 
 def bench_knn_nearest(spark, sf_dir):
     """k=1 fast path: min(struct) partial aggregation instead of the
     rank window — the shuffle carries one row per probe, not every
     k-ring candidate."""
-    from osm_pt_validator_spark.spatial.knn import knn_join
+    return {"nearest_rows": _build_knn(spark, sf_dir, k=1).count()}
 
-    c, s = _knn_dims(spark, sf_dir)
-    return {
-        "nearest_rows": knn_join(
-            c, s, probe_key="c_custkey", build_key="stop_id", k=1, ring=1, res=13
-        ).count()
-    }
+
+def _build_pricing(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return e.q_pricing_summary(spark, sf_dir)
 
 
 def bench_pricing(spark, sf_dir):
-    import __spark_entry__ as e
-
-    return {"groups": e.q_pricing_summary(spark, sf_dir).count()}
+    return {"groups": _build_pricing(spark, sf_dir).count()}
 
 
-def bench_minhash(spark, sf_dir):
+def _build_minhash(spark, sf_dir):
     from osm_pt_validator_spark.operators.dedup import minhash_lsh_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return {"candidate_pairs": minhash_lsh_pairs(d, num_hashes=16, bands=4).count()}
+    return minhash_lsh_pairs(d, num_hashes=16, bands=4)
 
 
-def bench_embedding_topk(spark, sf_dir):
+def bench_minhash(spark, sf_dir):
+    return {"candidate_pairs": _build_minhash(spark, sf_dir).count()}
+
+
+def _build_embedding_topk(spark, sf_dir):
     from osm_pt_validator_spark.operators.similarity import brute_force_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return {"topk_rows": brute_force_topk(e, q, k=10).count()}
+    return brute_force_topk(e, q, k=10)
+
+
+def bench_embedding_topk(spark, sf_dir):
+    return {"topk_rows": _build_embedding_topk(spark, sf_dir).count()}
 
 
 BENCHES = {
@@ -253,12 +268,37 @@ BENCHES = {
     "embedding_topk": bench_embedding_topk,
 }
 
+#: plan builders for the fingerprint section of the emitted JSON — the
+#: same subtrees the timed benches execute, analyzed without running
+PLAN_TARGETS = {
+    "extract_mentions": lambda spark, sf: _build_extract(spark, sf),
+    "validation": lambda spark, sf: _build_validation(spark),
+    "spatial_join": _build_spatial_join,
+    "knn_match": lambda spark, sf: _build_knn(spark, sf, k=2),
+    "knn_nearest": lambda spark, sf: _build_knn(spark, sf, k=1),
+    "pricing_summary": _build_pricing,
+    "minhash_pairs": _build_minhash,
+    "embedding_topk": _build_embedding_topk,
+}
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    from osm_pt_validator_spark.hostprobe import (
+        cpu_times,
+        plan_fingerprint,
+        spin_probe,
+        steal_pct,
+    )
     from osm_pt_validator_spark.session import ensure_py_files, get_spark
+
+    # host-window evidence, sampled BEFORE the JVM exists: the sandbox
+    # host's deliverable CPU swings ~2x between minutes, and without
+    # this a slow suite number is indistinguishable from a regression
+    spin_before = spin_probe()
+    stat0 = cpu_times()
 
     spark = get_spark("osm-pt-validator-bench", cores=cpus,
                       shuffle_partitions=max(cpus, 8))
@@ -286,6 +326,27 @@ def main():
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_total0, 3)
 
+    stat1 = cpu_times()
+    spin_after = spin_probe()
+    host = {
+        # single-thread Mops/sec before/after — compare against other
+        # records of THIS probe (identical code): a 25-45% lower value
+        # marks a degraded multi-tenant window
+        "spin_mops_before": spin_before,
+        "spin_mops_after": spin_after,
+        # hypervisor-withheld cycles across the suite window
+        "steal_pct": steal_pct(stat0, stat1),
+    }
+    # operator-class counts of each initial physical plan: a slower
+    # wall-clock with IDENTICAL fingerprints ran the same plan on a
+    # worse host window; a changed fingerprint marks a real plan change
+    plans = {}
+    for name, builder in PLAN_TARGETS.items():
+        try:
+            plans[name] = plan_fingerprint(builder(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            plans[name] = {"error": str(exc)[:120]}
+
     docs = extras["extract_mentions"]["docs"]
     docs_per_min = round(docs / timings["extract_mentions"] * 60.0, 1)
     join_rows_per_sec = round(
@@ -310,6 +371,8 @@ def main():
                 "join_rows_per_sec": join_rows_per_sec,
                 "relations_per_sec": relations_per_sec,
                 "counters": extras,
+                "host": host,
+                "plan_fingerprints": plans,
             }
         )
     )

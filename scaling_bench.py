@@ -25,10 +25,17 @@ the job is embarrassingly parallel by construction: deterministic
 seeded input (identical at both levels), Arrow-batched Python
 (extraction, automaton) and JVM joins/aggregations, no driver loops.
 
+Probe gating (round 3): each trial pair is bracketed by single-thread
+spin probes (hostprobe.spin_probe); only pairs whose probes agree
+within 10% count toward the recorded efficiency — the host delivered
+the same capacity to both halves, so the ratio measures the engine.
+The emitted JSON carries every pair's probes and per-pair E, plus the
+basis used (probe-stable pair vs best-of-level fallback).
+
 Usage:
-    python scaling_bench.py                # primary pair (2, 8), 2 trials
+    python scaling_bench.py                # primary pair (2, 8), 3 pairs
     SPARK_GRAFT_SCALE_PAIR=8,32 python scaling_bench.py
-    SPARK_GRAFT_SCALE_TRIALS=3 python scaling_bench.py
+    SPARK_GRAFT_SCALE_TRIALS=4 python scaling_bench.py
 
 Prints ONE JSON line.
 """
@@ -206,27 +213,69 @@ def worker(cpus: int) -> None:
 def main() -> None:
     pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
     n_cpus, n4_cpus = (int(x) for x in pair.split(","))
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
+    sys.path.insert(0, _REPO)
+    from osm_pt_validator_spark.hostprobe import spin_probe
+
+    # Each trial PAIR is bracketed by three single-thread spin probes
+    # (before 4N, between, after N). A pair only counts toward the
+    # recorded efficiency when its probes agree within 10% — i.e. the
+    # host delivered the same capacity to both halves; otherwise the
+    # ratio measures the host window, not the engine.
     runs: dict[int, list[dict]] = {n_cpus: [], n4_cpus: []}
+    pairs: list[dict] = []
     for _ in range(trials):
         # interleave: 4N first, then N, so slow host windows hit both
-        runs[n4_cpus].append(_run_level(n4_cpus))
-        runs[n_cpus].append(_run_level(n_cpus))
+        p0 = spin_probe()
+        r4 = _run_level(n4_cpus)
+        p1 = spin_probe()
+        rn = _run_level(n_cpus)
+        p2 = spin_probe()
+        runs[n4_cpus].append(r4)
+        runs[n_cpus].append(rn)
+        probes = [p0, p1, p2]
+        e = (rn["t_total"] / r4["t_total"]) / (n4_cpus / n_cpus)
+        pairs.append(
+            {
+                "probes_mops": probes,
+                "probe_spread": round(
+                    (max(probes) - min(probes)) / max(probes), 3
+                ),
+                "stable": (max(probes) - min(probes)) / max(probes) <= 0.10,
+                "t_4n": r4["t_total"],
+                "t_n": rn["t_total"],
+                "efficiency": round(e, 3),
+            }
+        )
 
-    best = {c: min(rs, key=lambda r: r["t_total"]) for c, rs in runs.items()}
-    t_n, t_4n = best[n_cpus]["t_total"], best[n4_cpus]["t_total"]
-    eff = (t_n / t_4n) / (n4_cpus / n_cpus)
+    stable_pairs = [p for p in pairs if p["stable"]]
+    if stable_pairs:
+        # cleanest stable window = the stable pair with the highest
+        # minimum probe capacity (least host interference end-to-end)
+        headline = max(stable_pairs, key=lambda p: min(p["probes_mops"]))
+        eff = headline["efficiency"]
+        t_n, t_4n = headline["t_n"], headline["t_4n"]
+        basis = "probe-stable pair (spread <= 10%)"
+    else:
+        # no stable window in this run: fall back to best-of-level (the
+        # old protocol) and SAY SO — the record is then evidence-weak
+        best = {c: min(rs, key=lambda r: r["t_total"]) for c, rs in runs.items()}
+        t_n, t_4n = best[n_cpus]["t_total"], best[n4_cpus]["t_total"]
+        eff = round((t_n / t_4n) / (n4_cpus / n_cpus), 3)
+        basis = "NO probe-stable pair; best-of-level fallback (host-degraded run)"
     print(
         json.dumps(
             {
                 "metric": (
                     "scaling efficiency, end-to-end extract+join+heatmap+validation "
-                    f"at local[{n_cpus}] vs local[{n4_cpus}], best of "
-                    f"{trials} interleaved trials"
+                    f"at local[{n_cpus}] vs local[{n4_cpus}], "
+                    f"{trials} interleaved probe-gated trial pairs"
                 ),
                 "value": round(eff, 3),
                 "unit": "efficiency",
+                "basis": basis,
+                "pairs": pairs,
                 "queries": {
                     f"t_local{n_cpus}": t_n,
                     f"t_local{n4_cpus}": t_4n,
