@@ -288,6 +288,7 @@ def main():
 
     from osm_pt_validator_spark.hostprobe import (
         cpu_times,
+        parallel_probe,
         plan_fingerprint,
         spin_probe,
         steal_pct,
@@ -298,6 +299,7 @@ def main():
     # host's deliverable CPU swings ~2x between minutes, and without
     # this a slow suite number is indistinguishable from a regression
     spin_before = spin_probe()
+    par_before = parallel_probe(cpus)
     stat0 = cpu_times()
 
     spark = get_spark("osm-pt-validator-bench", cores=cpus,
@@ -328,12 +330,21 @@ def main():
 
     stat1 = cpu_times()
     spin_after = spin_probe()
+    par_after = parallel_probe(cpus)
     host = {
         # single-thread Mops/sec before/after — compare against other
-        # records of THIS probe (identical code): a 25-45% lower value
-        # marks a degraded multi-tenant window
+        # records of THIS probe (identical code)
         "spin_mops_before": spin_before,
         "spin_mops_after": spin_after,
+        # aggregate Mops/sec of `cpus` simultaneous spinners — the
+        # MULTI-CORE capacity yardstick. Measured round 3 on this host:
+        # ~700+ at 32-way in good windows (validation leg ~5-7 s);
+        # ~520-600 in degraded windows (same plan, 9-16 s). The
+        # 1-thread probe stays flat through these swings, so par_mops
+        # is the number that certifies the window.
+        "par_mops_before": par_before,
+        "par_mops_after": par_after,
+        "par_nproc": cpus,
         # hypervisor-withheld cycles across the suite window
         "steal_pct": steal_pct(stat0, stat1),
     }

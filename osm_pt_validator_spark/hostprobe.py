@@ -37,6 +37,31 @@ def spin_probe(seconds: float = 1.5) -> float:
     return round(n / dt / 1e6, 3)
 
 
+def parallel_probe(nproc: int, seconds: float = 1.5) -> float:
+    """Aggregate Mops/sec of `nproc` SIMULTANEOUS single-thread
+    spinners — the multi-core capacity yardstick. Needed because the
+    single-thread probe cannot see N-way capping: this sandbox host
+    delivers a steady ~27 Mops to one thread while its 32-way
+    deliverable capacity swings ~2x between minutes (measured round 3:
+    identical plans, flat 1-thread probe, 4x swing on a 32-way Arrow
+    stage)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q: "mp.Queue[float]" = ctx.Queue()
+
+    def _w(q):
+        q.put(spin_probe(seconds))
+
+    ps = [ctx.Process(target=_w, args=(q,)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return round(sum(vals), 3)
+
+
 def cpu_times() -> dict[str, int] | None:
     """Aggregate /proc/stat cpu line as named jiffy counters."""
     fields = (

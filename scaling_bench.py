@@ -216,10 +216,12 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
     sys.path.insert(0, _REPO)
-    from osm_pt_validator_spark.hostprobe import spin_probe
+    from osm_pt_validator_spark.hostprobe import parallel_probe
 
-    # Each trial PAIR is bracketed by three single-thread spin probes
-    # (before 4N, between, after N). A pair only counts toward the
+    # Each trial PAIR is bracketed by three MULTI-CORE capacity probes
+    # (4N simultaneous spinners — the 1-thread probe stays flat through
+    # the host's multi-core swings, see hostprobe.parallel_probe) taken
+    # before 4N, between, and after N. A pair only counts toward the
     # recorded efficiency when its probes agree within 10% — i.e. the
     # host delivered the same capacity to both halves; otherwise the
     # ratio measures the host window, not the engine.
@@ -227,11 +229,11 @@ def main() -> None:
     pairs: list[dict] = []
     for _ in range(trials):
         # interleave: 4N first, then N, so slow host windows hit both
-        p0 = spin_probe()
+        p0 = parallel_probe(n4_cpus)
         r4 = _run_level(n4_cpus)
-        p1 = spin_probe()
+        p1 = parallel_probe(n4_cpus)
         rn = _run_level(n_cpus)
-        p2 = spin_probe()
+        p2 = parallel_probe(n4_cpus)
         runs[n4_cpus].append(r4)
         runs[n_cpus].append(rn)
         probes = [p0, p1, p2]
