@@ -250,7 +250,13 @@ def main() -> None:
                 "efficiency": round(e, 3),
             }
         )
+        # stream each finished pair to stderr: a crash or timeout after
+        # N pairs must not lose the first N results
+        print("PAIR " + json.dumps(pairs[-1]), file=sys.stderr, flush=True)
 
+    # per-level bests always (throughput section), regardless of which
+    # basis supplies the headline efficiency
+    best = {c: min(rs, key=lambda r: r["t_total"]) for c, rs in runs.items()}
     stable_pairs = [p for p in pairs if p["stable"]]
     if stable_pairs:
         # cleanest stable window = the stable pair with the highest
@@ -262,7 +268,6 @@ def main() -> None:
     else:
         # no stable window in this run: fall back to best-of-level (the
         # old protocol) and SAY SO — the record is then evidence-weak
-        best = {c: min(rs, key=lambda r: r["t_total"]) for c, rs in runs.items()}
         t_n, t_4n = best[n_cpus]["t_total"], best[n4_cpus]["t_total"]
         eff = round((t_n / t_4n) / (n4_cpus / n_cpus), 3)
         basis = "NO probe-stable pair; best-of-level fallback (host-degraded run)"
