@@ -1221,6 +1221,50 @@ def q_cosine_pairs(spark, sf):
     )
 
 
+def q_cosine_bucketed(spark, sf):
+    """Embedding-cosine near-dup via the SCALE path: hyperplane-bucket
+    self-join + exact verify (operators/similarity.py
+    cosine_near_dup_pairs) — the bucketed counterpart of the brute
+    `cosine_pairs` baseline, value-checked by replaying the sin-literal
+    hyperplane buckets in SQL."""
+    from osm_pt_validator_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.35, dim=64, num_planes=6).select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm"),
+    )
+
+
+def _sql_cosine_bucketed() -> str:
+    """Replays hyperplane_bucket exactly (same driver-computed sin()
+    literals, same left-to-right dot fold), then the bucket equi-join +
+    exact cosine verify — candidate semantics identical to the Spark
+    plan, so survivors match bit-for-bit."""
+    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
+
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
+        for m, plane in enumerate(hyperplane_coeffs(64, 6))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {terms} AS bucket FROM e),
+sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+      THEN list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      ELSE 0.0 END, 6) AS sim
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(round(sim * 1e6) AS BIGINT) AS sim_ppm
+FROM sims WHERE sim >= 0.35
+"""
+
+
 SQL_COSINE_PAIRS = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 sims AS (
@@ -1884,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "embedding_topk": wrap(q_embedding_topk),
         "cosine_pairs": wrap(q_cosine_pairs),
+        "cosine_bucketed_pairs": wrap(q_cosine_bucketed),
         "pipeline_heatmap": wrap(q_pipeline_heatmap),
         # rows-only (non-SQL-expressible)
         "way_order_verdicts": wrap(q_way_order_verdicts),
@@ -1927,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": _sql_near_dup(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "cosine_pairs": SQL_COSINE_PAIRS,
+        "cosine_bucketed_pairs": _sql_cosine_bucketed(),
         "mentions_extract": SQL_MENTIONS,
         "pipeline_heatmap": _sql_pipeline_heatmap(),
         "lsh_ann_topk": _sql_lsh_ann(),
