@@ -144,6 +144,39 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     return minhash_signature_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """(doc_a < doc_b) pairs co-bucketed on bucket_cols, via ONE
+    groupBy + in-bucket pair expansion — the LSH candidate shape that
+    scans its input once.
+
+    Why not a self-equi-join: Spark's self-join disambiguation assigns
+    fresh expression ids to one side, so the two (identical) subtrees
+    never compare equal and ReuseExchange can NOT fire — measured: the
+    join form scans the corpus and computes the full signature pipeline
+    TWICE (initial and final plans both). The groupBy form is also the
+    natural distribution: the pair count per bucket is k*(k-1)/2 either
+    way (the join produces exactly the same rows), but here the corpus
+    is read once and only bucket ids shuffle."""
+    ids_sorted = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        keyed.groupBy(*bucket_cols)
+        .agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -153,8 +186,9 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH band.
 
     rows_per_band = num_hashes / bands; band hash = md5 of the
-    signature slice. The pair join is a self-equi-join on
-    (band_idx, band_hash) followed by distinct — at scale the bucket
+    signature slice. Candidates come from ONE groupBy on
+    (band_idx, band_hash) with in-bucket pair expansion (_bucket_pairs)
+    — one corpus scan, one signature computation; at scale the bucket
     sizes are the knob (more bands => higher recall, bigger buckets).
     """
     assert num_hashes % bands == 0
@@ -162,11 +196,9 @@ def minhash_lsh_pairs(
     shingled = documents.select(
         "doc_id", shingle_hashes(F.col("text"), shingle_n).alias("sh")
     ).repartition("doc_id")
-    # the repartition is load-bearing twice over: (1) the exchange is a
-    # projection barrier, so CollapseProject cannot re-inline the whole
-    # tokenise+shingle+md5 pipeline into each of the num_hashes min-hash
-    # expressions; (2) both sides of the self-join below reuse the SAME
-    # shuffle output (ReusedExchange) instead of recomputing the scan.
+    # the repartition is a projection barrier: without the exchange,
+    # CollapseProject re-inlines the whole tokenise+shingle+md5
+    # pipeline into each of the num_hashes min-hash expressions
     sig = minhash_signature_from_hashes(F.col("sh"), num_hashes)
     # drop docs with NO shingles (the only way sig elements go null)
     # HERE, on the cheap column — filtering on the signature itself
@@ -187,18 +219,7 @@ def minhash_lsh_pairs(
             ).alias("band_idx", "band_hash"),
         )
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band_idx", "band_hash"], "doc_id")
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
@@ -305,8 +326,10 @@ def _simple_tokens(t: str) -> list[str]:
 
 def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 chunk), join
-    on (chunk_idx, chunk), verify exact hamming distance.
+    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 chunk),
+    bucket on (chunk_idx, chunk) via ONE groupBy with in-bucket pair
+    expansion (see _bucket_pairs: the self-join form scans the corpus
+    and runs the signature UDF twice), verify exact hamming distance.
     Output: (doc_a, doc_b, hamming)."""
     sim = make_simhash_udf(64)
     sigs = documents.select("doc_id", sim(F.col("text")).alias("sig"))
@@ -322,17 +345,35 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
+    # carry (doc_id, sig) structs into the bucket so the hamming verify
+    # needs no join back; array_sort orders by doc_id (first field), so
+    # expansion yields doc_a < doc_b
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "sig")))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
     )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk"
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
     return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

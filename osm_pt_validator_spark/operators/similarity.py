@@ -140,18 +140,50 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup: bucket self-join + exact verify.
-    Output: (vec_a, vec_b, sim)."""
+    """Embedding-cosine near-dup: LSH bucket + exact verify.
+    Output: (vec_a, vec_b, sim).
+
+    Candidates come from ONE groupBy on the hyperplane bucket with
+    in-bucket pair expansion, not a self-equi-join: Spark's self-join
+    disambiguation re-ids one side so ReuseExchange can't fire, and the
+    join form scans the embeddings and evaluates the num_planes-dot
+    `hyperplane_bucket` fold TWICE (see operators/dedup._bucket_pairs).
+    Pair count per bucket is k*(k-1)/2 either way, and an equi-join
+    co-locates whole buckets on one task exactly like the groupBy, so
+    the distribution is identical — minus one corpus scan."""
     e = embeddings.select(id_col, vec_col).withColumn(
         "__b", hyperplane_bucket(F.col(vec_col), dim, num_planes)
     )
-    a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "__b")
-    b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "__b")
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    # array_sort orders structs by their first field (the unique id),
+    # so expansion yields vec_a < vec_b
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["i"].alias("vec_a"),
+                    y["i"].alias("vec_b"),
+                    x["v"].alias("va"),
+                    y["v"].alias("vb"),
+                ),
+            ),
+        )
+    )
+    sim = F.round(cosine(F.col("p.va"), F.col("p.vb")), 6)
     return (
-        a.join(b, "__b")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("sim"))
+        e.groupBy("__b")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.vec_a").alias("vec_a"),
+            F.col("p.vec_b").alias("vec_b"),
+            sim.alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 

@@ -216,3 +216,32 @@ def test_exact_dedup_single_scan_single_shuffle(spark):
     # bonus of the window form: Spark pushes a WindowGroupLimit below
     # the exchange, so each map task pre-prunes to 1 row per fp
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_lsh_candidate_pairs_single_scan(spark):
+    """minhash_lsh_pairs, simhash_near_duplicates and
+    cosine_near_dup_pairs generate candidates with ONE groupBy +
+    in-bucket pair expansion, not a self-equi-join: Spark's self-join
+    disambiguation gives one side fresh expression ids, so
+    ReuseExchange never fires and the join form scans the corpus +
+    computes the signature pipeline TWICE. These are corpus-wide
+    passes — a doubled scan is the single most expensive redundancy
+    available at 100 TB."""
+    import re
+
+    from osm_pt_validator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_duplicates,
+    )
+    from osm_pt_validator_spark.operators.similarity import cosine_near_dup_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    for df in (
+        minhash_lsh_pairs(docs),
+        simhash_near_duplicates(docs),
+        cosine_near_dup_pairs(embs, dim=8),
+    ):
+        plan = plan_of(df)
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+        assert len(scans) == 1, plan
