@@ -1167,6 +1167,91 @@ SELECT doc_a, doc_b, jaccard_ppm FROM pairs WHERE jaccard_ppm >= 500000
 """
 
 
+def q_near_dup_clusters(spark, sf):
+    """Cluster stage of the dedup pipeline over the REAL LSH path:
+    MinHash-LSH candidates -> exact-Jaccard verify -> connected
+    components (operators/clusters.py). The oracle replays the whole
+    chain in DuckDB — md5 shingle hashes, the affine signature family,
+    band md5s, bucket pairs, Jaccard verify — then computes the same
+    min-label fixpoint with a recursive CTE."""
+    from osm_pt_validator_spark.operators.clusters import near_dup_clusters
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return near_dup_clusters(d, threshold=0.5)
+
+
+def q_dedup_clusters_kept(spark, sf):
+    """Post-dedup corpus ids: one canonical (min-id) member per
+    near-dup cluster plus every unclustered document."""
+    from osm_pt_validator_spark.operators.clusters import (
+        keep_canonical,
+        near_dup_clusters,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return keep_canonical(d, near_dup_clusters(d, threshold=0.5)).select("doc_id")
+
+
+def _sql_lsh_clusters_body() -> str:
+    """Shared CTE chain: documents -> shingles -> minhash signatures ->
+    LSH bands -> candidate pairs -> verified edges -> connected
+    components via recursive min-label CTE (the same fixpoint the
+    iterative Spark loop converges to)."""
+    from osm_pt_validator_spark.operators.dedup import MINHASH_P, minhash_params
+
+    toks = _SQL_TOKENS.format(t="text")
+    params = _values([(m, *minhash_params(m)) for m in range(16)])
+    return f"""
+d AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS sh
+  FROM d),
+hs AS (SELECT doc_id,
+  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {MINHASH_P}) AS hs
+  FROM sh WHERE len(sh) > 0),
+par(m, a, b) AS (VALUES {params}),
+sigrow AS (SELECT h.doc_id, p.m,
+    list_min(list_transform(h.hs, x -> (x * p.a + p.b) % {MINHASH_P})) AS mh
+  FROM hs h CROSS JOIN par p),
+sig AS (SELECT doc_id, list(mh ORDER BY m) AS sig FROM sigrow GROUP BY doc_id),
+banded AS (SELECT doc_id, b.band_idx,
+    md5(array_to_string(sig[b.band_idx * 4 + 1 : b.band_idx * 4 + 4], ',')) AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id > a.doc_id),
+verified AS (SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+      THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh))
+      ELSE 0.0 END, 6) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION SELECT doc_b, doc_a FROM verified),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)"""
+
+
+def _sql_near_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_lsh_clusters_body()}
+SELECT doc_id, cluster_id FROM comp
+"""
+
+
+def _sql_dedup_clusters_kept() -> str:
+    return f"""
+WITH RECURSIVE {_sql_lsh_clusters_body()}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+"""
+
+
 def q_embedding_topk(spark, sf):
     from osm_pt_validator_spark.operators.similarity import brute_force_topk
 
@@ -1926,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": wrap(q_corpus_curate),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
+        "near_dup_clusters": wrap(q_near_dup_clusters),
+        "dedup_clusters_kept": wrap(q_dedup_clusters_kept),
         "embedding_topk": wrap(q_embedding_topk),
         "cosine_pairs": wrap(q_cosine_pairs),
         "cosine_bucketed_pairs": wrap(q_cosine_bucketed),
@@ -1970,6 +2057,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _sql_corpus_curate(),
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
+        "near_dup_clusters": _sql_near_dup_clusters(),
+        "dedup_clusters_kept": _sql_dedup_clusters_kept(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "cosine_pairs": SQL_COSINE_PAIRS,
         "cosine_bucketed_pairs": _sql_cosine_bucketed(),

@@ -1,0 +1,131 @@
+"""Duplicate-cluster resolution — the stage after pair generation in a
+web-scale dedup pipeline.
+
+The LSH paths (operators/dedup.py, operators/similarity.py) emit
+near-dup PAIRS; a real corpus curation run must then group pairs into
+connected components and keep ONE document per component (cf. the
+cluster-then-keep-one step of published corpus-dedup pipelines).
+Spark has no built-in connected components, so this implements the
+classic iterative min-label propagation as a DataFrame loop:
+
+    label(v)  <-  min(label(v), min over neighbours u of label(u))
+
+repeated until a fixpoint. The driver loop runs one ACTION per
+iteration (a 1-row convergence probe) — legitimate for an iterative
+algorithm, and nothing row-sized ever reaches the driver.
+
+Scale shape (100 TB corpus, ~10^9 near-dup edges):
+  * each iteration is one shuffle join (edges x labels, both hashed on
+    the node id) + one map-side-combining min aggregation — no
+    all-pairs step anywhere;
+  * iteration count is the label-propagation radius: the number of
+    hops from each component's minimum-id node to its farthest member
+    (<= component diameter). Near-dup components are shallow (dups of
+    one page cluster around it), so 2-5 rounds in practice;
+  * per-iteration `localCheckpoint(eager=True)` truncates the lineage
+    — without it the plan doubles every round and the final job
+    replays every prior iteration per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in `pairs`, where component is
+    the MINIMUM node id reachable through the undirected pair graph —
+    deterministic, engine-reproducible (a recursive-CTE oracle computes
+    the same fixpoint).
+
+    Isolated documents (no pair) do not appear; callers treat absent
+    as "its own singleton cluster" (see keep_canonical).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # labels reaching each node through one hop; groupBy-min folds
+        # them with the node's own label (map-side combine applies)
+        neighbour = edges.join(
+            labels, edges["a"] == labels["node"], "inner"
+        ).select(F.col("b").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neighbour)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for documents in a near-dup cluster:
+    MinHash-LSH candidates -> exact-Jaccard verify -> connected
+    components. cluster_id = min doc_id in the cluster."""
+    from osm_pt_validator_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        documents, threshold, num_hashes, bands, shingle_n
+    )
+    return connected_components(pairs, max_iter=max_iter).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def keep_canonical(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per cluster (its minimum-id member) plus every
+    unclustered document — the post-dedup corpus.
+
+    clusters: (doc_id, cluster_id) as from near_dup_clusters. One scan
+    of documents, one join; the cluster table is orders of magnitude
+    smaller than the corpus (only docs WITH a near-dup), so at scale
+    AQE turns this into a broadcast join on its own.
+    """
+    c = clusters.select(
+        F.col("doc_id").alias("__cid"), F.col("cluster_id").alias("__cluster")
+    )
+    return (
+        documents.join(c, documents[id_col] == c["__cid"], "left")
+        .filter(
+            F.col("__cluster").isNull() | (F.col(id_col) == F.col("__cluster"))
+        )
+        .drop("__cid", "__cluster")
+    )
