@@ -887,13 +887,16 @@ def q_doc_quality(spark, sf):
     )
 
 
-def _sql_doc_quality() -> str:
+def _sql_quality_ctes() -> str:
+    """CTE chain d -> feat -> qual(doc_id, quality + 6-dp ratios),
+    shared by the doc_quality and lang_quota oracles (single source of
+    truth for the quality_score replay)."""
     from osm_pt_validator_spark.operators.text import LANG_STOPWORDS
 
     toks = _SQL_TOKENS.format(t="text")
     c_en = _sql_stop_count(LANG_STOPWORDS["en"])
     return f"""
-WITH d AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, text, {toks} AS toks FROM documents),
 feat AS (
   SELECT doc_id,
     CAST(len(text) AS DOUBLE) AS n,
@@ -910,17 +913,101 @@ r AS (
     round(punct / (CASE WHEN n > 0 THEN n ELSE 1.0 END), 6) AS punct_ratio,
     round(stop_en / (CASE WHEN toks_n > 0 THEN toks_n ELSE 1.0 END), 6) AS stopword_ratio,
     round(alpha / (CASE WHEN toks_n > 0 THEN toks_n ELSE 1.0 END), 6) AS mean_token_len
-  FROM feat)
-SELECT doc_id,
-  CAST(round(40.0 * alpha_ratio
-    + 30.0 * LEAST(stopword_ratio * 2, 1.0)
-    + 15.0 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.0 END)
-    + 15.0 * (1.0 - LEAST(digit_ratio * 5, 1.0))) AS INT) AS quality,
+  FROM feat),
+qual AS (
+  SELECT doc_id,
+    CAST(round(40.0 * alpha_ratio
+      + 30.0 * LEAST(stopword_ratio * 2, 1.0)
+      + 15.0 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.0 END)
+      + 15.0 * (1.0 - LEAST(digit_ratio * 5, 1.0))) AS INT) AS quality,
+    alpha_ratio, digit_ratio, punct_ratio, stopword_ratio
+  FROM r)"""
+
+
+def _sql_doc_quality() -> str:
+    return f"""
+WITH {_sql_quality_ctes()}
+SELECT doc_id, quality,
   CAST(round(alpha_ratio * 1e6) AS BIGINT) AS alpha_ppm,
   CAST(round(digit_ratio * 1e6) AS BIGINT) AS digit_ppm,
   CAST(round(punct_ratio * 1e6) AS BIGINT) AS punct_ppm,
   CAST(round(stopword_ratio * 1e6) AS BIGINT) AS stop_ppm
-FROM r
+FROM qual
+"""
+
+
+def q_corpus_sample(spark, sf):
+    """Deterministic 25% Bernoulli sample (curation.hash_sample):
+    membership is a pure function of (salt, doc_id) — reproducible
+    across runs, engines, and repartitionings, unlike df.sample()."""
+    from osm_pt_validator_spark.operators.curation import hash_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return hash_sample(d, 0.25)
+
+
+def _sql_corpus_sample() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    bucket = md5_i64_sql("CAST(doc_id AS VARCHAR)", "sample")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {bucket} % 1000000 < 250000
+"""
+
+
+def q_lang_quota(spark, sf):
+    """Language rebalancing (curation.lang_quota): keep the top-60
+    docs per language by quality score — trims the en-heavy skew to a
+    uniform per-language cap, deterministic tie-break on doc_id."""
+    from osm_pt_validator_spark.operators.curation import lang_quota
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    return lang_quota(d, quota=60).select("doc_id", "lang", "quality")
+
+
+def _sql_lang_quota() -> str:
+    return f"""
+WITH {_sql_quality_ctes()}
+SELECT doc_id, lang, quality FROM (
+  SELECT m.doc_id, m.lang, q.quality,
+    row_number() OVER (PARTITION BY m.lang
+                       ORDER BY q.quality DESC, m.doc_id ASC) AS rk
+  FROM documents m JOIN qual q ON q.doc_id = m.doc_id)
+WHERE rk <= 60
+"""
+
+
+def q_pack_chunks(spark, sf):
+    """Concat-and-chunk packing layout (curation.pack_chunks): docs
+    hash-sharded then packed into 512-token chunks per shard — the
+    (doc -> chunk span) assignment a sequence-packing writer consumes."""
+    from osm_pt_validator_spark.operators.curation import pack_chunks
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return pack_chunks(d, budget=512, num_shards=8)
+
+
+def _sql_pack_chunks() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    toks = _SQL_TOKENS.format(t="text")
+    shard = md5_i64_sql("CAST(doc_id AS VARCHAR)", "shard")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {shard} % 8 AS shard,
+    COALESCE(CAST(list_sum(list_transform({toks},
+      x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT), 0) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id, shard, n_tokens, start_tok,
+  CAST(floor(start_tok / 512.0) AS BIGINT) AS chunk_first,
+  CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT) AS chunk_last
+FROM s
 """
 
 
@@ -2009,6 +2096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_groups": wrap(q_fingerprint_groups),
         "dedup_kept": wrap(q_dedup_kept),
         "corpus_curate": wrap(q_corpus_curate),
+        "corpus_sample": wrap(q_corpus_sample),
+        "lang_quota": wrap(q_lang_quota),
+        "pack_chunks": wrap(q_pack_chunks),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "near_dup_clusters": wrap(q_near_dup_clusters),
@@ -2055,6 +2145,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_groups": SQL_FINGERPRINT_GROUPS,
         "dedup_kept": SQL_DEDUP_KEPT,
         "corpus_curate": _sql_corpus_curate(),
+        "corpus_sample": _sql_corpus_sample(),
+        "lang_quota": _sql_lang_quota(),
+        "pack_chunks": _sql_pack_chunks(),
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "near_dup_clusters": _sql_near_dup_clusters(),

@@ -1,0 +1,125 @@
+"""Corpus curation operators a training-data pipeline needs AFTER
+dedup: deterministic subsampling, language rebalancing, and
+concat-and-chunk token packing.
+
+All three are pure column algebra / window functions — whole-stage
+codegen, no Python in the hot path, and every hash is the repo's
+md5-derived int64 (functions/hashing.py) so a DuckDB oracle replays
+them bit-for-bit.
+
+Scale shapes (100 TB corpus):
+  * hash_sample — a FILTER on a per-row hash: no shuffle at all, full
+    predicate parallelism, and reproducible across runs/engines
+    (unlike df.sample(), whose output depends on partitioning).
+  * lang_quota — one shuffle on (lang); per-language rank windows are
+    as skewed as the language mix, so the heavy language (en) is the
+    straggler — quota selection ranks by a cheap int score and doc_id
+    only, keeping the window row slim. WindowGroupLimit prunes to the
+    quota per map task before the exchange.
+  * pack_chunks — the GPT-style "concatenate everything, slice into
+    fixed token budgets" layout. A single global order would serialize
+    at 100 TB, so docs are hash-sharded first (shard = md5 % shards)
+    and packed per shard: one shuffle on (shard), windows within the
+    shard, chunk ids globally unique via (shard, local_chunk). Shard
+    count is the parallelism knob; packing quality is unaffected
+    because chunk boundaries only ever straddle within a shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.functions.hashing import md5_i64
+from osm_pt_validator_spark.operators.text import bpe_ish_token_count, quality_score
+
+
+def sample_bucket(key: Column, salt: str = "sample") -> Column:
+    """Deterministic bucket in [0, 1e6) from the row key — the basis
+    for reproducible Bernoulli sampling (same row => same bucket in
+    every run, every engine)."""
+    return md5_i64(key.cast("string"), salt) % 1000000
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic `fraction` of rows: bucket < fraction*1e6.
+
+    Unlike DataFrame.sample(), membership depends only on (salt, key):
+    stable under repartitioning, resumable, and the complement
+    (a held-out split) is exactly the remaining buckets — disjoint
+    splits come free from disjoint bucket ranges."""
+    thr = int(round(fraction * 1000000))
+    return df.filter(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def lang_quota(
+    documents: DataFrame,
+    quota: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance a language-skewed corpus: keep at most `quota` docs
+    per language, best quality_score first (doc_id breaks ties, so the
+    kept set is deterministic). Output: input columns + quality."""
+    q = documents.withColumn("quality", quality_score(F.col("text")))
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        q.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
+def pack_chunks(
+    documents: DataFrame,
+    budget: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing layout: documents are concatenated in
+    deterministic order and sliced into fixed `budget`-token chunks;
+    each doc lands in chunk span [chunk_first, chunk_last] of its
+    shard. Output: (doc_id, shard, n_tokens, start_tok, chunk_first,
+    chunk_last) — the assignment a sequence-packing writer consumes.
+
+    Docs are hash-sharded (shard = md5(doc_id) % num_shards) and packed
+    per shard in doc_id order: the global sort a single stream would
+    need does not scale, while per-shard windows shuffle once on
+    (shard) and parallelize across num_shards. Zero-token docs occupy
+    no span (their token interval [start, start) is empty — writers
+    identify them by n_tokens == 0) but stay in the output so the
+    writer can account for every input row.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (md5_i64(F.col(id_col).cast("string"), "shard") % num_shards).alias("shard"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_tok"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / budget).alias("chunk_first"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget).alias(
+            "chunk_last"
+        ),
+    )
