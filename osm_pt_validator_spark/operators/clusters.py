@@ -47,10 +47,17 @@ def connected_components(
     Isolated documents (no pair) do not appear; callers treat absent
     as "its own singleton cluster" (see keep_canonical).
     """
+    # persist the undirected edge table PRE-PARTITIONED on the join
+    # key: the InMemoryRelation keeps HashPartitioning(a), so when the
+    # per-iteration join is a shuffle join (the at-scale case — the
+    # label table is every clustered node, far beyond broadcast), only
+    # the label side exchanges each round; the edge table — the largest
+    # input in the loop — shuffles exactly once, here.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("a")
         .persist()
     )
     labels = (

@@ -64,6 +64,62 @@ def test_keep_canonical(spark):
     assert kept == [1, 3, 4, 6]
 
 
+def test_edges_persisted_pre_partitioned_on_join_key(spark):
+    """The per-iteration join must not re-shuffle the edge table: the
+    persisted edges carry HashPartitioning(a) so only the label side
+    exchanges each round (at scale the label table is every clustered
+    node — not broadcastable — and the edge table is the largest input
+    in the loop)."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .repartition("a")
+        .persist()
+    )
+    try:
+        edges.count()
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        with _no_broadcast(spark):
+            nb = edges.join(labels, edges["a"] == labels["node"], "inner").select(
+                F.col("b").alias("node"), "label"
+            )
+            plan = nb._sc._jvm.PythonSQLUtils.explainString(
+                nb._jdf.queryExecution(), "formatted"
+            )
+        # the streamed (edges) side reads straight from cache: between
+        # the join and the InMemoryTableScan there may be Sort/Filter
+        # but NO Exchange
+        final = plan.split("== Initial Plan ==")[0]
+        join_block = final.split("InMemoryTableScan")[0]
+        assert "Join" in join_block, final
+        assert "Exchange" not in join_block.split("Join", 1)[1], final
+    finally:
+        edges.unpersist()
+
+
+class _no_broadcast:
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
 def test_near_dup_clusters_end_to_end(spark):
     base = (
         "the quick brown fox jumps over the lazy dog while the band "
