@@ -2060,6 +2060,174 @@ def q_mentions_extract(spark, sf):
     )
 
 
+# --- crawl-level curation (operators/crawl.py) -----------------------------
+
+
+def _synth_crawl_pages(spark, sf):
+    """Multi-crawl pages derived deterministically from documents:
+    1 + (doc_id % 3) crawl snapshots per url, 7 synthetic hosts, and
+    the LAST crawl of even doc_ids gets updated text — the
+    change-detection signal. No external data; the DuckDB CTE
+    _SQL_CRAWL_PAGES replays this construction bit-for-bit."""
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    c = d.withColumn(
+        "crawl", F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")))
+    )
+    epoch = F.lit(1700000000) + F.col("doc_id") * 97 + F.col("crawl") * 3600
+    text = F.when(
+        (F.col("crawl") == F.col("doc_id") % 3) & (F.col("doc_id") % 2 == 0),
+        F.concat(F.col("text"), F.lit(" updated")),
+    ).otherwise(F.col("text"))
+    return c.select(
+        F.format_string(
+            "https://host%d.example.org/p/%d", F.col("doc_id") % 7, F.col("doc_id")
+        ).alias("url"),
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+        text.alias("text"),
+        "lang",
+    )
+
+
+_SQL_CRAWL_PAGES = """
+c AS (
+  SELECT doc_id, lang, crawl,
+    1700000000 + doc_id * 97 + crawl * 3600 AS ts_epoch,
+    CASE WHEN crawl = doc_id % 3 AND doc_id % 2 = 0
+         THEN text || ' updated' ELSE text END AS text
+  FROM (SELECT doc_id, text, lang,
+          UNNEST(range(0, (doc_id % 3) + 1)) AS crawl
+        FROM documents)),
+pages AS (
+  SELECT printf('https://host%d.example.org/p/%d', doc_id % 7, doc_id) AS url,
+    ts_epoch, text, lang
+  FROM c)"""
+
+
+def q_crawl_latest(spark, sf):
+    """Recrawl collapse (crawl.latest_crawl): newest snapshot per url —
+    one shuffle, WindowGroupLimit-pruned."""
+    from osm_pt_validator_spark.operators.crawl import latest_crawl
+
+    p = _synth_crawl_pages(spark, sf)
+    return latest_crawl(p).select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_CRAWL_LATEST = f"""
+WITH {_SQL_CRAWL_PAGES}
+SELECT url, ts_epoch, CAST(len(text) AS BIGINT) AS n_chars FROM (
+  SELECT url, ts_epoch, text,
+    row_number() OVER (PARTITION BY url
+                       ORDER BY ts_epoch DESC, md5(text) ASC) AS rk
+  FROM pages)
+WHERE rk = 1
+"""
+
+
+def q_crawl_changed(spark, sf):
+    """Recrawl change detection (crawl.changed_pages): urls whose
+    newest snapshot differs from the previous crawl."""
+    from osm_pt_validator_spark.operators.crawl import changed_pages
+
+    p = _synth_crawl_pages(spark, sf)
+    return changed_pages(p).select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+        F.unix_timestamp("prev_ts").cast("long").alias("prev_epoch"),
+        "changed",
+    )
+
+
+SQL_CRAWL_CHANGED = f"""
+WITH {_SQL_CRAWL_PAGES},
+r AS (
+  SELECT url, ts_epoch, md5(text) AS h,
+    row_number() OVER w AS rk,
+    lead(ts_epoch) OVER w AS prev_epoch,
+    lead(md5(text)) OVER w AS prev_h
+  FROM pages
+  WINDOW w AS (PARTITION BY url ORDER BY ts_epoch DESC, md5(text) ASC))
+SELECT url, ts_epoch, prev_epoch, (h <> prev_h) AS changed
+FROM r WHERE rk = 1 AND prev_h IS NOT NULL
+"""
+
+
+def q_domain_stats(spark, sf):
+    """Per-site rollup (crawl.domain_stats) over the multi-crawl
+    corpus: pages, distinct urls, chars, language spread."""
+    from osm_pt_validator_spark.operators.crawl import domain_stats
+
+    return domain_stats(_synth_crawl_pages(spark, sf))
+
+
+_SQL_DOMAIN = (
+    "regexp_replace(regexp_replace(lower(regexp_extract(url, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', ''), ':[0-9]+$', '')"
+)
+
+SQL_DOMAIN_STATS = f"""
+WITH {_SQL_CRAWL_PAGES}
+SELECT {_SQL_DOMAIN} AS domain,
+  COUNT(*) AS n_pages,
+  COUNT(DISTINCT url) AS n_urls,
+  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+  COUNT(DISTINCT lang) AS n_langs
+FROM pages GROUP BY 1
+"""
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher-style repetition profile (text.repetition_stats):
+    dup-line / dup-token / top-bigram fractions, ppm-quantized for
+    cross-engine hash stability."""
+    from osm_pt_validator_spark.operators.text import repetition_stats
+
+    s = repetition_stats(_t(spark, sf, "documents"))
+
+    def ppm(c):
+        return F.round(F.col(c) * 1e6).cast("long")
+
+    return s.select(
+        "doc_id",
+        ppm("dup_line_frac").alias("dup_line_ppm"),
+        ppm("dup_token_frac").alias("dup_token_ppm"),
+        ppm("top_bigram_frac").alias("top_bigram_ppm"),
+    )
+
+
+def _sql_doc_repetition() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {toks} AS toks,
+    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS ls
+  FROM documents),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(ls) > 0
+         THEN round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls), 6)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(toks) > 0
+         THEN round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+         ELSE 0.0 END AS dup_token_frac
+  FROM d),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM d, UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END) AS t(i)),
+cn AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+tt AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS tot FROM cn GROUP BY 1)
+SELECT b.doc_id,
+  CAST(round(b.dup_line_frac * 1e6) AS BIGINT) AS dup_line_ppm,
+  CAST(round(b.dup_token_frac * 1e6) AS BIGINT) AS dup_token_ppm,
+  CAST(round((CASE WHEN tt.tot > 0 THEN round(top_n * 1.0 / tt.tot, 6)
+                   ELSE 0.0 END) * 1e6) AS BIGINT) AS top_bigram_ppm
+FROM base b LEFT JOIN tt ON tt.doc_id = b.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
@@ -2099,6 +2267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": wrap(q_corpus_sample),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
+        "doc_repetition": wrap(q_doc_repetition),
+        # crawl-level curation
+        "crawl_latest": wrap(q_crawl_latest),
+        "crawl_changed": wrap(q_crawl_changed),
+        "domain_stats": wrap(q_domain_stats),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "near_dup_clusters": wrap(q_near_dup_clusters),
@@ -2148,6 +2321,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": _sql_corpus_sample(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),
+        "doc_repetition": _sql_doc_repetition(),
+        "crawl_latest": SQL_CRAWL_LATEST,
+        "crawl_changed": SQL_CRAWL_CHANGED,
+        "domain_stats": SQL_DOMAIN_STATS,
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "near_dup_clusters": _sql_near_dup_clusters(),

@@ -1,0 +1,139 @@
+"""Crawl-level curation over the pages fact table.
+
+The engine's 100 TB input is (url, warc_ts, html, text, lang) — a
+Common-Crawl-style table where the same url appears once per crawl
+(reference analogue: the validator re-fetches each OSM element per run,
+scripts/validate/main.go; here the "re-fetch" is a recrawl row). Before
+any text work a real pipeline collapses recrawls and groups by site:
+
+  * latest_crawl   — keep the newest snapshot per url. One shuffle on
+    url; the row_number()=1 filter is pruned map-side by Spark's
+    WindowGroupLimit, so the exchange carries ~1 row per (url,
+    map task), not every crawl.
+  * changed_pages  — recrawl change detection: urls whose newest text
+    differs from the previous snapshot (the incremental-work set a
+    scheduled revalidation job consumes). Same single shuffle.
+  * normalize_url  — canonical url key (lowercase scheme/host, strip
+    fragment / default port / www. / trailing slash). Pure column
+    regex algebra — codegen, no Python — and byte-reproducible in any
+    engine (the DuckDB oracle replays it verbatim).
+  * domain_stats   — per-site rollup (pages, distinct urls, chars,
+    language spread). Partial aggregation shuffles one row per
+    (domain, map task); hot mega-domains are AQE skew-split.
+
+All outputs are deterministic: ties on warc_ts break on md5(text) so
+latest_crawl/changed_pages never depend on partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Host (authority) part of the url, '' when not url-shaped."""
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-site key: host lowercased, 'www.' and port
+    stripped. (No public-suffix list in-container; host-level grouping
+    is the deterministic, dependency-free contract.)"""
+    host = F.lower(url_host(url))
+    return F.regexp_replace(F.regexp_replace(host, r"^www\.", ""), r":\d+$", "")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical url: fragment stripped, scheme+host lowercased
+    (path/query untouched), default :80/:443 port stripped, 'www.'
+    stripped, trailing '/' stripped.
+
+    Every step is a regexp_replace with identical semantics in Spark
+    and DuckDB, so the normalized key is engine-reproducible — the
+    property exact url-dedup at 100 TB depends on.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = u.substr(F.length(prefix) + 1, F.length(u))
+    prefix = F.lower(prefix)
+    prefix = F.regexp_replace(prefix, r"^www\.", "")
+    prefix = F.regexp_replace(prefix, r"://www\.", "://")
+    prefix = F.regexp_replace(prefix, r":(80|443)$", "")
+    return F.regexp_replace(F.concat(prefix, rest), r"/$", "")
+
+
+def _crawl_window(url_col: str, ts_col: str, text_col: str):
+    # md5(text) tiebreak: recrawls with identical timestamps resolve
+    # identically in every engine and under any partitioning
+    return Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), F.md5(F.col(text_col)).asc()
+    )
+
+
+def latest_crawl(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Newest snapshot per url — the first pass over a multi-crawl
+    corpus. row_number (not max+self-join) keeps it to ONE scan and
+    ONE shuffle, and WindowGroupLimit prunes losers before the
+    exchange."""
+    w = _crawl_window(url_col, ts_col, text_col)
+    return (
+        pages.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def changed_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Urls whose newest snapshot differs from the previous one —
+    the incremental revalidation work set. Output: url, warc_ts (of
+    the newest), prev_ts, plus a changed flag; first-seen urls (one
+    crawl) are excluded. Same window as latest_crawl — one shuffle."""
+    w = _crawl_window(url_col, ts_col, text_col)
+    ranked = pages.select(
+        url_col,
+        ts_col,
+        F.md5(F.col(text_col)).alias("__h"),
+        F.row_number().over(w).alias("__rk"),
+        F.lead(ts_col, 1).over(w).alias("prev_ts"),
+        F.lead(F.md5(F.col(text_col)), 1).over(w).alias("__prev_h"),
+    )
+    return (
+        ranked.filter((F.col("__rk") == 1) & F.col("__prev_h").isNotNull())
+        .select(
+            url_col,
+            ts_col,
+            "prev_ts",
+            (F.col("__h") != F.col("__prev_h")).alias("changed"),
+        )
+    )
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus rollup: page count, distinct urls, total
+    extracted chars, language spread. Count-distincts are exact (the
+    oracle contract); at 100 TB swap in approx_count_distinct — same
+    single-shuffle shape."""
+    return (
+        pages.groupBy(url_domain(F.col(url_col)).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct(url_col).alias("n_urls"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -202,3 +202,89 @@ def tfidf_top_terms(
             F.round(F.col("score") * 1e6).cast("long").alias("score_ppm"),
         )
     )
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of non-empty lines that
+    are repeats of an earlier line (1 - distinct/total), 6 dp. Pure
+    column algebra — split/distinct run inside codegen."""
+    ls = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+    n = F.size(ls).cast("double")
+    d = F.size(F.array_distinct(ls)).cast("double")
+    return F.when(n > 0, F.round(1.0 - d / n, 6)).otherwise(F.lit(0.0))
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of word tokens that are repeats (1 - distinct/total),
+    6 dp — high values flag keyword-stuffed / boilerplate pages."""
+    ts = tokens(text)
+    n = F.size(ts).cast("double")
+    d = F.size(F.array_distinct(ts)).cast("double")
+    return F.when(n > 0, F.round(1.0 - d / n, 6)).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition profile (the Gopher repetition filters
+    re-expressed set-based): dup_line_frac, dup_token_frac, and
+    top_bigram_frac — the fraction of bigram occurrences taken by the
+    single most frequent bigram.
+
+    Plan: ONE scan of documents; the per-row fractions ride through
+    the bigram explode as first() so no join back to the corpus is
+    needed. Two shuffles — (doc, gram) count with map-side combine,
+    then (doc) max/sum — both keyed on the doc id, so AQE coalesces
+    them and no row ever leaves its doc group.
+    Output: (doc_id, dup_line_frac, dup_token_frac, top_bigram_frac).
+    """
+    t = F.col(text_col)
+    ex = documents.select(
+        F.col(id_col),
+        dup_line_fraction(t).alias("dup_line_frac"),
+        dup_token_fraction(t).alias("dup_token_frac"),
+        F.explode_outer(word_ngrams(t, 2)).alias("gram"),
+    )
+    per_gram = ex.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("dup_line_frac").alias("dup_line_frac"),
+        F.first("dup_token_frac").alias("dup_token_frac"),
+    )
+    gram_n = F.when(F.col("gram").isNotNull(), F.col("n"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.first("dup_line_frac").alias("dup_line_frac"),
+        F.first("dup_token_frac").alias("dup_token_frac"),
+        F.max(gram_n).alias("__top"),
+        F.sum(gram_n).alias("__tot"),
+    )
+    frac = F.when(
+        F.col("__tot") > 0, F.round(F.col("__top") / F.col("__tot"), 6)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "dup_line_frac",
+        "dup_token_frac",
+        frac.alias("top_bigram_frac"),
+    )
+
+
+def repetition_filter(
+    documents: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_dup_token_frac: float = 0.80,
+    max_top_bigram_frac: float = 0.18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop repetition-heavy documents (Gopher-rule thresholds as
+    defaults). One left-semi shuffle join on the doc id: the survivor
+    side is ids ONLY (8 bytes/row), so the exchange it adds is minimal
+    — and both sides hash-partition on the same key the stats agg just
+    used, so AQE reuses that partitioning."""
+    stats = repetition_stats(documents, id_col, text_col)
+    keep = stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    ).select(id_col)
+    return documents.join(keep, id_col, "left_semi")

@@ -1,0 +1,159 @@
+"""Crawl-level curation (operators/crawl.py) + repetition filters
+(operators/text.py): recrawl collapse, change detection, url
+normalization, domain rollups, Gopher-style repetition stats."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.operators.crawl import (
+    changed_pages,
+    domain_stats,
+    latest_crawl,
+    normalize_url,
+    url_domain,
+)
+from osm_pt_validator_spark.operators.text import (
+    dup_line_fraction,
+    dup_token_fraction,
+    repetition_filter,
+    repetition_stats,
+)
+
+
+def _ts(h):
+    return datetime.datetime(2024, 1, 1, h, 0, 0)
+
+
+@pytest.fixture()
+def pages(spark):
+    rows = [
+        # url A: three crawls, text changed on the last one
+        ("https://a.example.org/x", _ts(1), "one", "en"),
+        ("https://a.example.org/x", _ts(2), "one", "en"),
+        ("https://a.example.org/x", _ts(3), "two", "en"),
+        # url B: two crawls, unchanged
+        ("https://b.example.org/y", _ts(1), "same", "de"),
+        ("https://b.example.org/y", _ts(2), "same", "de"),
+        # url C: single crawl
+        ("https://a.example.org/z", _ts(5), "only", "en"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+
+
+def test_latest_crawl_keeps_newest_per_url(pages):
+    got = {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in latest_crawl(pages).collect()
+    }
+    assert got == {
+        "https://a.example.org/x": (_ts(3), "two"),
+        "https://b.example.org/y": (_ts(2), "same"),
+        "https://a.example.org/z": (_ts(5), "only"),
+    }
+
+
+def test_latest_crawl_tie_breaks_on_text_hash(spark):
+    # identical warc_ts: the md5(text)-smaller row wins, so the result
+    # is deterministic under any partitioning
+    df = spark.createDataFrame(
+        [("u", _ts(1), "aaa", "en"), ("u", _ts(1), "bbb", "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    import hashlib
+
+    expect = min("aaa", "bbb", key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert latest_crawl(df).collect()[0]["text"] == expect
+
+
+def test_changed_pages(pages):
+    got = {r["url"]: r for r in changed_pages(pages).collect()}
+    # single-crawl url C excluded entirely
+    assert set(got) == {"https://a.example.org/x", "https://b.example.org/y"}
+    a = got["https://a.example.org/x"]
+    assert (a["warc_ts"], a["prev_ts"], a["changed"]) == (_ts(3), _ts(2), True)
+    b = got["https://b.example.org/y"]
+    assert (b["warc_ts"], b["prev_ts"], b["changed"]) == (_ts(2), _ts(1), False)
+
+
+def test_normalize_url(spark):
+    cases = [
+        ("HTTPS://WWW.Example.ORG:443/Path/?q=UPPER#frag",
+         "https://example.org/Path/?q=UPPER"),
+        ("http://example.org:80/", "http://example.org"),
+        ("http://example.org:8080/a", "http://example.org:8080/a"),
+        ("https://www.example.org", "https://example.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Host7.Example.org:8443/p/1",), ("not a url",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(url_domain(F.col("url"))).collect()]
+    assert got == ["host7.example.org", ""]
+
+
+def test_domain_stats(pages):
+    got = {r["domain"]: r for r in domain_stats(pages).collect()}
+    a = got["a.example.org"]
+    assert (a["n_pages"], a["n_urls"], a["n_langs"]) == (4, 2, 1)
+    assert a["total_chars"] == len("one") * 2 + len("two") + len("only")
+    b = got["b.example.org"]
+    assert (b["n_pages"], b["n_urls"], b["n_langs"]) == (2, 1, 1)
+
+
+def test_dup_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),      # 3 lines, 2 distinct
+            (2, "x y z"),               # no repeats
+            (3, ""),                    # degenerate
+            (4, "spam spam spam spam"),  # 4 tokens 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dl"], r["dt"])
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction(F.col("text")).alias("dl"),
+            dup_token_fraction(F.col("text")).alias("dt"),
+        ).collect()
+    }
+    assert got[1][0] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4][1] == 0.75
+
+
+def test_repetition_stats_and_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # top bigram heavy
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "one two"),                            # single bigram
+            (4, "solo"),                               # no bigram at all
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1 bigrams: [buy now, now buy]*: 'buy now' x4 of 7 total
+    assert stats[1]["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert stats[2]["top_bigram_frac"] == pytest.approx(1 / 8, abs=1e-6)
+    assert stats[3]["top_bigram_frac"] == 1.0
+    assert stats[4]["top_bigram_frac"] == 0.0
+
+    kept = sorted(
+        r["doc_id"] for r in repetition_filter(df, max_top_bigram_frac=0.2).collect()
+    )
+    # doc 3's only bigram is 100% "top" but it's also token-duplicate-free;
+    # the bigram rule still drops it — the documented contract
+    assert kept == [2, 4]
