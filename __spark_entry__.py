@@ -2228,6 +2228,89 @@ FROM base b LEFT JOIN tt ON tt.doc_id = b.doc_id
 """
 
 
+# --- temporal operators (operators/temporal.py) ----------------------------
+
+
+def q_asof_crawl_events(spark, sf):
+    """Backward as-of join (temporal.asof_join): each event attached
+    to the crawl snapshot of "its" page that was in force at event
+    time. Spark has no ASOF JOIN; ours is the union+window shape (one
+    shuffle); DuckDB replays it with its NATIVE ASOF LEFT JOIN —
+    an independent implementation agreeing value-for-value."""
+    from osm_pt_validator_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "ts", (F.col("event_id") % 500).alias("doc_id")
+    )
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    snaps = d.withColumn(
+        "crawl", F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")))
+    ).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 97 + F.col("crawl") * 604800
+        ).alias("crawl_ts"),
+        F.length("text").cast("long").alias("snap_chars"),
+    )
+    j = asof_join(ev, snaps, ["doc_id"], "ts", "crawl_ts")
+    return j.select(
+        "event_id",
+        "doc_id",
+        F.unix_timestamp("crawl_ts").cast("long").alias("crawl_epoch"),
+        "snap_chars",
+    )
+
+
+SQL_ASOF_CRAWL = """
+WITH ev AS (
+  SELECT event_id, ts, event_id % 500 AS doc_id FROM events),
+snaps AS (
+  SELECT doc_id,
+    to_timestamp(1704067200 + doc_id * 97 + crawl * 604800) AS crawl_ts,
+    CAST(len(text) AS BIGINT) AS snap_chars
+  FROM (SELECT doc_id, text, UNNEST(range(0, (doc_id % 3) + 1)) AS crawl
+        FROM documents))
+SELECT ev.event_id, ev.doc_id,
+  CAST(floor(epoch(snaps.crawl_ts)) AS BIGINT) AS crawl_epoch,
+  snaps.snap_chars
+FROM ev ASOF LEFT JOIN snaps
+  ON ev.doc_id = snaps.doc_id AND ev.ts >= snaps.crawl_ts
+"""
+
+
+def q_session_stats_events(spark, sf):
+    """Gap-based sessionization (temporal.session_stats): 30-min idle
+    gap over the events stream, per-user session rollups."""
+    from osm_pt_validator_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_s=1800, tiebreak_cols=["event_id"]
+    )
+
+
+SQL_SESSION_STATS = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  COUNT(*) AS n_events,
+  CAST(MIN(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+  CAST(MAX(floor(epoch(ts))) AS BIGINT) AS end_epoch
+FROM s GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
@@ -2272,6 +2355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_latest": wrap(q_crawl_latest),
         "crawl_changed": wrap(q_crawl_changed),
         "domain_stats": wrap(q_domain_stats),
+        # temporal
+        "asof_crawl_events": wrap(q_asof_crawl_events),
+        "session_stats_events": wrap(q_session_stats_events),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "near_dup_clusters": wrap(q_near_dup_clusters),
@@ -2325,6 +2411,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_latest": SQL_CRAWL_LATEST,
         "crawl_changed": SQL_CRAWL_CHANGED,
         "domain_stats": SQL_DOMAIN_STATS,
+        "asof_crawl_events": SQL_ASOF_CRAWL,
+        "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "near_dup_clusters": _sql_near_dup_clusters(),

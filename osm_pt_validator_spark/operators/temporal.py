@@ -1,0 +1,136 @@
+"""Temporal operators Spark has no built-in for: as-of join and
+gap-based sessionization.
+
+Both are expressed as ONE shuffle on the key + a per-key window scan —
+never a range join (whose candidate set is quadratic in rows-per-key)
+and never Python. DuckDB replays both (native ASOF JOIN / identical
+window algebra), so the driver oracle checks them value-for-value.
+
+as-of join (backward): for each left row, the single right row with
+the greatest right_ts <= left_ts for the same key — "the crawl
+snapshot in force when this event happened". The union trick: tag and
+interleave both inputs on (key, ts), then carry the latest right
+payload forward with last(ignorenulls) over rows-unbounded-preceding.
+Compared to the broadcast-range-join alternative this needs no
+binning, handles unbounded staleness, and shuffles each input exactly
+once; within-key work is a linear scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_R_STRUCT = "__asof_r"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "",
+) -> DataFrame:
+    """Backward as-of LEFT join: left columns + the payload columns of
+    the latest right row with right_ts <= left_ts per key (null when
+    no right row precedes). right_ts is surfaced as
+    `{right_prefix}{right_ts}` alongside the payload.
+
+    Right rows must be unique per (keys, right_ts) — the standard
+    as-of precondition (DuckDB's ASOF JOIN assumes the same).
+
+    Plan: unionByName (no shuffle) -> window over (keys, ts, right
+    rows first on ties) -> filter back to left rows. One exchange on
+    keys total; the payload rides inside a single struct so
+    last(ignorenulls) never confuses a legitimately-null right column
+    with "no match yet".
+    """
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_cols = [right_prefix + right_ts] + [right_prefix + c for c in payload_cols]
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_r"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias(_R_STRUCT),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # right (1) sorts before left (0) at equal ts => backward-inclusive
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last(_R_STRUCT, ignorenulls=True).over(w))
+    return matched.filter(F.col("__is_r") == 0).select(
+        *left.columns,
+        F.col(f"__m.__rts").alias(out_cols[0]),
+        *[
+            F.col(f"__m.{c}").alias(right_prefix + c)
+            for c in payload_cols
+        ],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the key has been
+    idle for more than gap_s seconds. Adds `session_idx` (0-based per
+    key, in time order) — deterministic given tiebreak_cols that make
+    (key, ts, *tiebreak) unique.
+
+    One shuffle on the key; the lag + running-sum windows share the
+    same sort, so Spark evaluates them in a single window pass.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - prev) > gap_s),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two steps: a window expression can't nest inside another window
+    # fn's argument; both windows share (partition, sort) so Spark
+    # evaluates them in one pass without a second exchange
+    flagged = events.withColumn("__new", is_new)
+    return flagged.withColumn(
+        "session_idx", (F.sum(F.col("__new")).over(run) - 1).cast("long")
+    ).drop("__new")
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-session rollup over sessionize(): bounds, event count —
+    the classic web-analytics aggregation. Second shuffle is on
+    (key, session_idx), i.e. a refinement of the first — AQE keeps it
+    local."""
+    s = sessionize(events, key_col, ts_col, gap_s, tiebreak_cols)
+    return s.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_timestamp(F.col(ts_col))).alias("start_epoch"),
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("end_epoch"),
+    )

@@ -1,0 +1,118 @@
+"""As-of join + sessionization (operators/temporal.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts(0)),   # before any right row -> null match
+            (2, "k1", _ts(5)),   # matches snapshot at minute 5 (inclusive)
+            (3, "k1", _ts(7)),   # still snapshot 5
+            (4, "k1", _ts(12)),  # snapshot 10
+            (5, "k2", _ts(30)),  # other key
+            (6, "k3", _ts(9)),   # key with no right rows at all
+        ],
+        "event_id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts(5), 50),
+            ("k1", _ts(10), 100),
+            ("k2", _ts(1), 7),
+        ],
+        "key string, rts timestamp, payload int",
+    )
+    got = {
+        r["event_id"]: (r["rts"], r["payload"])
+        for r in asof_join(left, right, ["key"], "ts", "rts").collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (_ts(5), 50)
+    assert got[3] == (_ts(5), 50)
+    assert got[4] == (_ts(10), 100)
+    assert got[5] == (_ts(1), 7)
+    assert got[6] == (None, None)
+
+
+def test_asof_join_null_payload_still_matches(spark):
+    # a right row whose payload is NULL must still win over an older
+    # non-null snapshot (the struct wrapper prevents skip-over)
+    left = spark.createDataFrame(
+        [(1, "k", _ts(9))], "event_id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(1), 11), ("k", _ts(8), None)],
+        "key string, rts timestamp, payload int",
+    )
+    row = asof_join(left, right, ["key"], "ts", "rts").collect()[0]
+    assert row["rts"] == _ts(8) and row["payload"] is None
+
+
+def test_asof_join_prefix_avoids_collisions(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(2))], "event_id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(1), 5)], "key string, ts timestamp, event_id long"
+    )
+    row = asof_join(left, right, ["key"], "ts", "ts", right_prefix="r_").collect()[0]
+    assert row["event_id"] == 1 and row["r_event_id"] == 5
+    assert row["ts"] == _ts(2) and row["r_ts"] == _ts(1)
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, 7, _ts(0)),
+        (2, 7, _ts(10)),   # 10 min gap, within 30-min session
+        (3, 7, _ts(50)),   # 40 min idle -> new session
+        (4, 7, _ts(55)),
+        (5, 8, _ts(0)),    # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    s = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, "user_id", "ts", 1800, ["event_id"]).collect()
+    }
+    assert s == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df, gap_s=1800, tiebreak_cols=["event_id"]).collect()
+    }
+    assert stats[(7, 0)]["n_events"] == 2
+    assert stats[(7, 1)]["n_events"] == 2
+    assert stats[(8, 0)]["n_events"] == 1
+    assert (
+        stats[(7, 1)]["end_epoch"] - stats[(7, 1)]["start_epoch"] == 300
+    )
+
+
+def test_asof_single_exchange(spark):
+    """The whole as-of plan must contain exactly ONE Exchange (the
+    key shuffle) — the union side never shuffles separately."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts(1))], "event_id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(0), 5)], "key string, rts timestamp, payload int"
+    )
+    out = asof_join(left, right, ["key"], "ts", "rts")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Union" in plan, plan
