@@ -242,3 +242,39 @@ def test_streaming_validate_micro_batches(spark, tmp_path):
         (2, "ways are incorrectly ordered"),
         (3, "way with oneway tag is traversed in wrong direction"),
     ]
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """The native session_window stream, fully drained, must agree
+    with the batch gap-session operator on the same rows — the batch
+    side is the oracle."""
+    from osm_pt_validator_spark.operators.temporal import session_stats
+    from osm_pt_validator_spark.streaming.heatmap import run_available_now
+    from osm_pt_validator_spark.streaming.sessions import (
+        streaming_session_stats,
+    )
+
+    src = str(tmp_path / "events_stream")
+    rows = [
+        (1, 7, dt.datetime(2026, 1, 1, 10, 0)),
+        (2, 7, dt.datetime(2026, 1, 1, 10, 10)),   # same session
+        (3, 7, dt.datetime(2026, 1, 1, 11, 30)),   # idle >30min -> new
+        (4, 8, dt.datetime(2026, 1, 1, 10, 5)),
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+
+    sdf = streaming_session_stats(spark, src, schema, gap="30 minutes")
+    run_available_now(sdf, "sess_test")
+    got = sorted(
+        (r.user_id, r.n_events, r.start_epoch, r.end_epoch)
+        for r in spark.sql("select * from sess_test").collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.start_epoch, r.end_epoch)
+        for r in session_stats(
+            batch_df, "user_id", "ts", gap_s=1800, tiebreak_cols=["event_id"]
+        ).collect()
+    )
+    assert got == want and len(got) == 3
