@@ -2228,6 +2228,59 @@ FROM base b LEFT JOIN tt ON tt.doc_id = b.doc_id
 """
 
 
+# --- raster -> vector (spatial/tiles.py) -----------------------------------
+
+
+def q_tile_vector_bboxes(spark, sf):
+    """Full raster<->vector round trip (tiles.heatmap_vector):
+    customer points -> z12 tile raster -> vector bbox features with
+    counts. Bounds ppm-quantized for cross-engine hash stability."""
+    from osm_pt_validator_spark.spatial.tiles import heatmap_vector
+
+    c = _t(spark, sf, "customer").select(
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    v = heatmap_vector(c, z=12)
+
+    def ppm(col):
+        return F.round(F.col(col) * 1e6).cast("long")
+
+    return v.select(
+        "tile_z",
+        "tile_x",
+        "tile_y",
+        "n",
+        ppm("west").alias("west_ppm"),
+        ppm("east").alias("east_ppm"),
+        ppm("north").alias("north_ppm"),
+        ppm("south").alias("south_ppm"),
+    )
+
+
+def _sql_tile_vector() -> str:
+    n = float(1 << 12)
+
+    def lat(yy: str) -> str:
+        t = f"(pi() * (1.0 - 2.0 * {yy} / {n}))"
+        return f"degrees(atan((exp({t}) - exp(-{t})) / 2.0))"
+
+    return f"""
+WITH heat AS (
+  SELECT CAST(12 AS INT) AS tile_z,
+    {_sql_tile_x(_SQL_CUST_LON, 12)} AS tile_x,
+    {_sql_tile_y(_SQL_CUST_LAT, 12)} AS tile_y,
+    COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT tile_z, tile_x, tile_y, n,
+  CAST(round((tile_x / {n} * 360.0 - 180.0) * 1e6) AS BIGINT) AS west_ppm,
+  CAST(round(((tile_x + 1) / {n} * 360.0 - 180.0) * 1e6) AS BIGINT) AS east_ppm,
+  CAST(round({lat('tile_y')} * 1e6) AS BIGINT) AS north_ppm,
+  CAST(round({lat('(tile_y + 1)')} * 1e6) AS BIGINT) AS south_ppm
+FROM heat
+"""
+
+
 # --- temporal operators (operators/temporal.py) ----------------------------
 
 
@@ -2337,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial (G3-G8)
         "cell_counts_events": wrap(q_cell_counts_events),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
+        "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
         "salted_cell_join": wrap(q_salted_cell_join),
         # text / dedup / similarity
@@ -2397,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "parent_relations": SQL_PARENT_RELATIONS,
         "cell_counts_events": SQL_CELL_COUNTS,
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
+        "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
         "salted_cell_join": SQL_SALTED_JOIN,
         "doc_stats": _sql_doc_stats(),

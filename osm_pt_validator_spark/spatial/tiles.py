@@ -51,3 +51,45 @@ def verdict_failure_heatmap(
         .join(nodes.select("node_id", "lat", "lon"), "node_id")
     )
     return failure_heatmap(located, z)
+
+
+def tile_bounds(z: int, x: Column, y: Column) -> dict[str, Column]:
+    """Raster -> vector: the inverse slippy transform. Maps a z/x/y
+    tile back to its geographic bbox (west/east lon, north/south lat)
+    — pure column math, codegen, no Python.
+
+    sinh is spelled (exp(t) - exp(-t))/2 so the DuckDB oracle replays
+    the identical expression tree (quantized to 6 dp downstream)."""
+    import math
+
+    n = float(1 << z)
+
+    def _lat(yy: Column) -> Column:
+        t = F.lit(math.pi) * (1.0 - F.lit(2.0) * yy / F.lit(n))
+        return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / 2.0))
+
+    return {
+        "west": x / F.lit(n) * 360.0 - 180.0,
+        "east": (x + 1) / F.lit(n) * 360.0 - 180.0,
+        "north": _lat(y),
+        "south": _lat(y + 1),
+    }
+
+
+def heatmap_vector(
+    points: DataFrame, z: int, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """The full raster<->vector round trip: points -> tile raster
+    (failure_heatmap) -> vector bbox features, one row per occupied
+    tile with its count and geographic bounds. The bbox math is a
+    per-row projection over the (tiny, <=4^z) aggregated raster, so
+    the vectorization step adds zero shuffles."""
+    heat = failure_heatmap(points, z, lat, lon)
+    b = tile_bounds(z, F.col("tile_x"), F.col("tile_y"))
+    return heat.select(
+        "tile_z",
+        "tile_x",
+        "tile_y",
+        "n",
+        *[c.alias(k) for k, c in b.items()],
+    )

@@ -287,3 +287,27 @@ def test_knn_k1_fast_path_parity_and_plan(spark):
         best = min((round(hav(plat, plon, blat, blon), 6), bid)
                    for bid, blat, blon in build_rows)
         assert got[pid][0] == best[1], (pid, got[pid], best)
+
+
+def test_tile_bounds_roundtrip_contains_point(spark):
+    """Raster->vector inverse: every point must lie inside the bbox of
+    the tile it rasterized into (west<=lon<east, south<lat<=north)."""
+    from pyspark.sql import functions as F
+
+    from osm_pt_validator_spark.spatial.tiles import heatmap_vector
+
+    pts = spark.createDataFrame(
+        [(55.95, -3.19), (51.5074, -0.1278), (-33.8688, 151.2093), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    v = heatmap_vector(pts, z=12)
+    feats = v.collect()
+    assert sum(r["n"] for r in feats) == 4
+    # join points back to their tile bbox and assert containment
+    joined = pts.crossJoin(v).filter(
+        (F.col("lon") >= F.col("west")) & (F.col("lon") < F.col("east"))
+        & (F.col("lat") > F.col("south")) & (F.col("lat") <= F.col("north"))
+    )
+    assert joined.count() == 4
+    for r in feats:
+        assert r["west"] < r["east"] and r["south"] < r["north"]
