@@ -2281,6 +2281,65 @@ FROM heat
 """
 
 
+# --- PII scrub (operators/text.py) ------------------------------------------
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction (text.scrub_pii): deterministic emails / phones /
+    IPv4s are planted into each document, scrubbed to typed
+    placeholders, and audited via per-kind counts. The oracle replays
+    the same regex pipeline (identical Java/RE2-compatible patterns),
+    with md5(scrubbed) proving byte-identical redaction."""
+    from osm_pt_validator_spark.operators.text import scrub_documents
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@mail.example.com call +44 20 7946 0958"
+                " ip 10.0.%d.7",
+                F.col("doc_id"),
+                F.col("doc_id") % 256,
+            ),
+        ).alias("text"),
+    )
+    s = scrub_documents(d)
+    return s.select(
+        "doc_id",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from osm_pt_validator_spark.operators.text import PII_PATTERNS
+
+    em, ph, ip = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["ipv4"],
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    text || printf(' contact user%d@mail.example.com call +44 20 7946 0958'
+                   ' ip 10.0.%d.7', doc_id, doc_id % 256) AS text
+  FROM documents)
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{em}', '<EMAIL>', 'g'),
+      '{ph}', '<PHONE>', 'g'),
+      '{ip}', '<IPV4>', 'g')) AS scrub_md5,
+  CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4
+FROM d
+"""
+
+
 # --- temporal operators (operators/temporal.py) ----------------------------
 
 
@@ -2409,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_latest": wrap(q_crawl_latest),
         "crawl_changed": wrap(q_crawl_changed),
         "domain_stats": wrap(q_domain_stats),
+        "pii_scrub": wrap(q_pii_scrub),
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
@@ -2466,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_latest": SQL_CRAWL_LATEST,
         "crawl_changed": SQL_CRAWL_CHANGED,
         "domain_stats": SQL_DOMAIN_STATS,
+        "pii_scrub": _sql_pii_scrub(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),

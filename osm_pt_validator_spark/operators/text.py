@@ -288,3 +288,46 @@ def repetition_filter(
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     ).select(id_col)
     return documents.join(keep, id_col, "left_semi")
+
+
+# PII patterns: deliberately simple, deterministic, and identical in
+# Spark and DuckDB regex dialects (no lookbehind, no \b ambiguity) —
+# the scrub is an engine contract, not a compliance product.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone-ish numbers, and IPv4 literals to typed
+    placeholders. Order matters (emails first — an email contains
+    digits a phone pattern could nibble); each pass is one JVM regex
+    over the column, no Python."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (audit signal for the scrub)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_documents(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents + scrubbed text + per-kind counts — a map-only pass
+    (no shuffle), pipelined with the scan."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    return documents.select(
+        id_col,
+        scrub_pii(t).alias("scrubbed_text"),
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+    )

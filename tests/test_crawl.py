@@ -157,3 +157,23 @@ def test_repetition_stats_and_filter(spark):
     # doc 3's only bigram is 100% "top" but it's also token-duplicate-free;
     # the bigram rule still drops it — the documented contract
     assert kept == [2, 4]
+
+
+def test_scrub_pii(spark):
+    from osm_pt_validator_spark.operators.text import scrub_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk or call +44 (0)20 7946-0958 now"),
+            (2, "server at 192.168.0.1 served nothing personal"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_documents(df).collect()}
+    assert got[1]["scrubbed_text"] == "mail <EMAIL> or call <PHONE> now"
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 0)
+    assert got[2]["scrubbed_text"] == "server at <IPV4> served nothing personal"
+    assert got[2]["n_ipv4"] == 1
+    assert got[3]["scrubbed_text"] == "clean text"
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
