@@ -2281,6 +2281,58 @@ FROM heat
 """
 
 
+# --- paragraph-level dedup (operators/dedup.py) ------------------------------
+
+
+def q_para_dedup(spark, sf):
+    """Cross-document paragraph dedup (dedup.paragraph_dedup):
+    boilerplate paragraphs planted into every document survive only in
+    the first doc (by doc_id) — the classic newsletter/copyright strip
+    over a web corpus."""
+    from osm_pt_validator_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter today"),
+            F.lit("copyright example corp all rights reserved"),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(d)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _sql_para_dedup() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+    text || chr(10) || chr(10) || 'subscribe to our newsletter today'
+         || chr(10) || chr(10) || 'copyright example corp all rights reserved'
+    AS text
+  FROM documents),
+sp AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM d),
+p AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS para
+  FROM sp, UNNEST(range(1, len(parts) + 1)) AS t(i)
+  WHERE len(parts[i]) > 0),
+k AS (
+  SELECT doc_id, pos, para,
+    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+  FROM p)
+SELECT doc_id,
+  md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS text_md5,
+  CAST(len(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS BIGINT) AS n_chars
+FROM k WHERE rk = 1 GROUP BY doc_id
+"""
+
+
 # --- PII scrub (operators/text.py) ------------------------------------------
 
 
@@ -2469,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_changed": wrap(q_crawl_changed),
         "domain_stats": wrap(q_domain_stats),
         "pii_scrub": wrap(q_pii_scrub),
+        "para_dedup": wrap(q_para_dedup),
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
@@ -2527,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_changed": SQL_CRAWL_CHANGED,
         "domain_stats": SQL_DOMAIN_STATS,
         "pii_scrub": _sql_pii_scrub(),
+        "para_dedup": _sql_para_dedup(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),

@@ -377,3 +377,51 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document paragraph dedup (boilerplate removal): every
+    paragraph that already appeared in an earlier document (order:
+    doc_id, then position) is dropped; each doc is reassembled from
+    its surviving paragraphs in original order.
+
+    The corpus-wide dedup key is md5(paragraph) — first occurrence
+    wins, deterministic under any partitioning.
+
+    Plan: posexplode paragraphs -> ONE shuffle on the paragraph hash
+    (row_number window; WindowGroupLimit prunes losers map-side) ->
+    ONE shuffle back on the doc id (collect_list + array_sort
+    reassembly — sorting inside the row, not a global sort). Rows in
+    flight are paragraphs, never the full document cross product.
+    Output: (id_col, text) with deduped text ('' when every paragraph
+    was boilerplate).
+    """
+    from pyspark.sql import Window
+
+    paras = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.length("para") > 0)
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = paras.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )

@@ -334,3 +334,25 @@ def test_media_real_header_decode(spark):
     with _pt.raises(Exception) as ei:
         decode_media(media, require_real=True).collect()
     assert "NotImplementedError" in str(ei.value) or "no parseable header" in str(ei.value)
+
+
+def test_paragraph_dedup_strips_boilerplate(spark):
+    from pyspark.sql import functions as F
+
+    from osm_pt_validator_spark.operators.dedup import paragraph_dedup
+
+    bp = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha body\n\n{bp}"),
+            (2, f"beta body\n\n{bp}\n\nbeta extra"),
+            (3, bp),             # nothing survives -> doc disappears
+            (4, "gamma body"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert got[1] == f"alpha body\n\n{bp}"      # first occurrence keeps it
+    assert got[2] == "beta body\n\nbeta extra"  # boilerplate stripped, order kept
+    assert 3 not in got
+    assert got[4] == "gamma body"
