@@ -245,3 +245,42 @@ def test_lsh_candidate_pairs_single_scan(spark):
         plan = plan_of(df)
         scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
         assert len(scans) == 1, plan
+
+
+def test_latest_crawl_window_group_limit(spark):
+    """latest_crawl: the row_number()=1 filter must compile to a
+    WindowGroupLimit pushed below the url exchange (each map task
+    pre-prunes to one candidate per url before shuffling) and the
+    multi-crawl corpus must be scanned exactly once."""
+    import re
+
+    from osm_pt_validator_spark.operators.crawl import latest_crawl
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pages = docs.selectExpr(
+        "concat('https://h/', doc_id) AS url",
+        "timestamp_seconds(1700000000 + doc_id) AS warc_ts",
+        "text",
+    )
+    plan = plan_of(latest_crawl(pages))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_repetition_stats_single_scan(spark):
+    """repetition_stats computes per-row fractions AND the top-bigram
+    aggregate from ONE scan of documents (the fractions ride through
+    the explode as first(); a join-back would re-read the corpus)."""
+    import re
+
+    from osm_pt_validator_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = plan_of(repetition_stats(docs))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+    joins = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert not joins, plan
