@@ -2333,6 +2333,37 @@ FROM k WHERE rk = 1 GROUP BY doc_id
 """
 
 
+def q_winnow_fps(spark, sf):
+    """Winnowing fingerprints (dedup.winnow_fingerprints): the
+    guarantee-bearing rolling-hash fingerprint set per document,
+    exploded to (doc_id, fp) pairs."""
+    from osm_pt_validator_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp"),
+    )
+
+
+def _sql_winnow_fps() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    toks = _SQL_TOKENS.format(t="text")
+    h = md5_i64_sql("array_to_string(toks[i:i+4], ' ')")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i, {h} % 2147483647 AS h
+  FROM d, UNNEST(CASE WHEN len(toks) >= 5
+                      THEN range(1, len(toks) - 3) ELSE [] END) AS t(i)),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id)
+SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp
+FROM hl, UNNEST(CASE WHEN len(hs) >= 4
+                     THEN range(1, len(hs) - 2) ELSE [] END) AS t(j)
+"""
+
+
 # --- PII scrub (operators/text.py) ------------------------------------------
 
 
@@ -2522,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": wrap(q_domain_stats),
         "pii_scrub": wrap(q_pii_scrub),
         "para_dedup": wrap(q_para_dedup),
+        "winnow_fps": wrap(q_winnow_fps),
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
@@ -2581,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": SQL_DOMAIN_STATS,
         "pii_scrub": _sql_pii_scrub(),
         "para_dedup": _sql_para_dedup(),
+        "winnow_fps": _sql_winnow_fps(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),

@@ -425,3 +425,34 @@ def paragraph_dedup(
             ).alias("text")
         )
     )
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken): ordered
+    word k-gram rolling hashes, minimum of each sliding window of w,
+    deduplicated — the plagiarism-detection / near-copy fingerprint
+    with the guarantee that any match of >= k+w-1 tokens shares a
+    fingerprint.
+
+    Same zip-of-shifted-slices construction as shingles() (the naive
+    higher-order-function form is O(tokens^2) per row), but ORDER
+    PRESERVED and duplicates kept — winnowing needs positional
+    windows. Docs shorter than k+w-1 tokens yield an empty set
+    (documented contract). Pure column algebra; the md5-derived hash
+    makes the set engine-reproducible.
+    """
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(k)]
+    grams = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
+    )
+    hs = F.transform(grams, lambda g: md5_i64(g) % MINHASH_P)
+    wm = F.greatest(F.size(hs) - (w - 1), F.lit(0))
+    wparts = [F.slice(hs, i + 1, wm) for i in range(w)]
+    mins = F.transform(
+        F.arrays_zip(*wparts),
+        lambda s: F.least(*[s[str(i)] for i in range(w)]),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -356,3 +356,30 @@ def test_paragraph_dedup_strips_boilerplate(spark):
     assert got[2] == "beta body\n\nbeta extra"  # boilerplate stripped, order kept
     assert 3 not in got
     assert got[4] == "gamma body"
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Any shared token run of >= k+w-1 (=8) tokens must share at
+    least one fingerprint; docs shorter than 8 tokens yield an empty
+    set."""
+    from pyspark.sql import functions as F
+
+    from osm_pt_validator_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "too short text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert got[1] & got[2], (got[1], got[2])   # guarantee: overlap
+    assert got[3] == set()
