@@ -284,3 +284,39 @@ def test_repetition_stats_single_scan(spark):
     assert len(scans) == 1, plan
     joins = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
     assert not joins, plan
+
+
+def test_curated_corpus_layout_prunes_on_read(spark, tmp_path):
+    """The curated-corpus sink's layout must pay off at read time:
+    (lang, shard) filters become PartitionFilters (directory skip) and
+    a doc_id range predicate reaches PushedFilters (row-group skip via
+    the sortWithinPartitions min/max stats)."""
+    from osm_pt_validator_spark.sources.corpus import (
+        read_curated_corpus,
+        shard_of,
+        write_curated_corpus,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    path = str(tmp_path / "corpus")
+    write_curated_corpus(docs, path, shards=4)
+
+    rb = read_curated_corpus(spark, path, lang="en", shard=3).filter(
+        F.col("doc_id") > 100
+    )
+    plan = plan_of(rb)
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in pf and "shard" in pf, plan
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan(doc_id,100)" in pushed, plan
+
+    # row parity with the direct filter over the source
+    want = (
+        docs.withColumn("shard", shard_of("doc_id", 4))
+        .filter((F.col("lang") == "en") & (F.col("shard") == 3)
+                & (F.col("doc_id") > 100))
+        .count()
+    )
+    assert rb.count() == want and want > 0
