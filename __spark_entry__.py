@@ -752,6 +752,41 @@ FROM customer GROUP BY 1, 2, 3
 """
 
 
+def q_tile_pyramid(spark, sf):
+    """Multi-zoom tile pyramid (z 6..12) over customer points: the
+    corpus shuffles ONCE (base z=12 heatmap); coarser zooms are
+    bit-shift parent rollups of the aggregated raster
+    (spatial/tiles.py:tile_pyramid)."""
+    from osm_pt_validator_spark.spatial.tiles import tile_pyramid
+
+    c = _t(spark, sf, "customer").select(
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return tile_pyramid(c, z_max=12, z_min=6).select(
+        F.col("tile_z").cast("int").alias("tile_z"),
+        "tile_x",
+        "tile_y",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_TILE_PYRAMID = f"""
+WITH base AS (
+  SELECT {_sql_tile_x(_SQL_CUST_LON, 12)} AS tile_x,
+         {_sql_tile_y(_SQL_CUST_LAT, 12)} AS tile_y,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(lv.z AS INT) AS tile_z,
+       base.tile_x >> (12 - lv.z) AS tile_x,
+       base.tile_y >> (12 - lv.z) AS tile_y,
+       CAST(SUM(base.n) AS BIGINT) AS n
+FROM base CROSS JOIN (SELECT CAST(range AS BIGINT) AS z FROM range(6, 13)) lv
+GROUP BY 1, 2, 3
+"""
+
+
 def q_knn_customers_suppliers(spark, sf):
     from osm_pt_validator_spark.spatial.knn import knn_join
 
@@ -2532,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial (G3-G8)
         "cell_counts_events": wrap(q_cell_counts_events),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
+        "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
         "salted_cell_join": wrap(q_salted_cell_join),
@@ -2596,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "parent_relations": SQL_PARENT_RELATIONS,
         "cell_counts_events": SQL_CELL_COUNTS,
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
+        "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
         "salted_cell_join": SQL_SALTED_JOIN,

@@ -30,6 +30,45 @@ def failure_heatmap(points: DataFrame, z: int, lat: str = "lat", lon: str = "lon
     )
 
 
+def tile_pyramid(
+    points: DataFrame,
+    z_max: int,
+    z_min: int = 0,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Multi-zoom heatmap pyramid (z_min..z_max) from ONE full-data pass.
+
+    The raw points shuffle exactly once — the base heatmap at z_max.
+    Every coarser zoom is derived from the already-aggregated raster by
+    the slippy parent identity (x >> dz, y >> dz): the raster is
+    bounded by the number of OCCUPIED z_max tiles, so the explode over
+    (z_max - z_min + 1) levels and the second groupBy touch only
+    raster-sized data, never the corpus. At 100 TB this is the only
+    viable pyramid shape — re-tiling the corpus per zoom would be
+    (levels x) full scans + shuffles; this is 1 + epsilon.
+
+    Output: (tile_z, tile_x, tile_y, n) for every occupied tile at
+    every zoom in [z_min, z_max]. shiftright keeps the math integral
+    and bit-exact (same operator DuckDB spells `>>`).
+    """
+    base = failure_heatmap(points, z_max, lat, lon)
+    return (
+        base.select(
+            "tile_x",
+            "tile_y",
+            "n",
+            F.explode(F.sequence(F.lit(z_min), F.lit(z_max))).alias("z"),
+        )
+        .groupBy(
+            F.col("z").alias("tile_z"),
+            F.expr(f"shiftright(tile_x, {z_max} - z)").alias("tile_x"),
+            F.expr(f"shiftright(tile_y, {z_max} - z)").alias("tile_y"),
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def verdict_failure_heatmap(
     verdicts: DataFrame, nodes: DataFrame, z: int
 ) -> DataFrame:

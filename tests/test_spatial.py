@@ -311,3 +311,31 @@ def test_tile_bounds_roundtrip_contains_point(spark):
     assert joined.count() == 4
     for r in feats:
         assert r["west"] < r["east"] and r["south"] < r["north"]
+
+
+def test_tile_pyramid_invariants(spark, tmp_path):
+    """Pyramid rollup: (a) every zoom level's counts sum to the total
+    point count; (b) each child tile's parent at the next-coarser zoom
+    is present with n >= child n; (c) the corpus is scanned once."""
+    import re
+
+    from osm_pt_validator_spark.spatial.tiles import tile_pyramid
+    from tests.test_plans import plan_of
+
+    _, pts = _grid_points(spark, n=300)
+    path = str(tmp_path / "pyr_pts")
+    pts.write.mode("overwrite").parquet(path)
+    pyr = tile_pyramid(spark.read.parquet(path), z_max=12, z_min=8)
+    rows = pyr.collect()
+    by_z = {}
+    for r in rows:
+        by_z.setdefault(r.tile_z, {})[(r.tile_x, r.tile_y)] = r.n
+    assert sorted(by_z) == [8, 9, 10, 11, 12]
+    for z, tiles in by_z.items():
+        assert sum(tiles.values()) == 300, z
+    for z in range(12, 8, -1):
+        for (x, y), n in by_z[z].items():
+            assert by_z[z - 1][(x >> 1, y >> 1)] >= n
+    plan = plan_of(pyr)
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, f"pyramid must scan the input once:\n{plan}"
