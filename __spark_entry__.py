@@ -787,6 +787,91 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stop_route_proximity(spark, sf):
+    """Stop-to-route proximity (north-star check): suppliers ordered by
+    key within nation form route polylines, customers are that nation's
+    stops; min point-to-segment distance per stop, flagged > 150 m
+    (spatial/proximity.py — equi-join on route key, map-side min)."""
+    from osm_pt_validator_spark.spatial.proximity import (
+        segments_from_polylines,
+        stop_route_proximity,
+    )
+
+    sv = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("route_id"),
+        F.col("s_suppkey").alias("seq"),
+        _supp_lat(F.col("s_suppkey")).alias("lat"),
+        _supp_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    segs = segments_from_polylines(sv, "route_id", "seq")
+    st = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("route_id"),
+        "c_custkey",
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    prox = stop_route_proximity(
+        st, segs, route_key="route_id", stop_key="c_custkey", max_m=150.0
+    )
+    return prox.select(
+        "route_id",
+        "c_custkey",
+        F.round(F.col("dist_m") * 1000.0).cast("long").alias("dist_mm"),
+        F.col("too_far").cast("int").alias("too_far"),
+    )
+
+
+# the SQL replays the identical expression tree (same association order,
+# same clamp spelling) so doubles agree bit-for-bit before mm rounding
+_SQL_PROX_D = (
+    "sqrt((px - (0.0 + t * bx)) * (px - (0.0 + t * bx)) "
+    "+ (py - (0.0 + t * by)) * (py - (0.0 + t * by)))"
+)
+
+SQL_STOP_ROUTE_PROXIMITY = f"""
+WITH sv AS (
+  SELECT s_nationkey AS route_id, s_suppkey AS seq,
+         {_SQL_SUPP_LAT} AS lat, {_SQL_SUPP_LON} AS lon
+  FROM supplier
+),
+seg AS (
+  SELECT route_id,
+         lat AS lat1, lon AS lon1,
+         lead(lat) OVER (PARTITION BY route_id ORDER BY seq) AS lat2,
+         lead(lon) OVER (PARTITION BY route_id ORDER BY seq) AS lon2
+  FROM sv
+),
+seg2 AS (SELECT * FROM seg WHERE lat2 IS NOT NULL),
+st AS (
+  SELECT c_nationkey AS route_id, c_custkey,
+         {_SQL_CUST_LAT} AS plat, {_SQL_CUST_LON} AS plon
+  FROM customer
+),
+proj AS (
+  SELECT st.route_id, st.c_custkey,
+    radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0 AS bx,
+    radians(lat2 - lat1) * 6371000.0 AS by,
+    radians(plon - lon1) * cos(radians(lat1)) * 6371000.0 AS px,
+    radians(plat - lat1) * 6371000.0 AS py
+  FROM st JOIN seg2 ON st.route_id = seg2.route_id
+),
+tt AS (
+  SELECT route_id, c_custkey, bx, by, px, py,
+    greatest(0.0, least(1.0, CASE WHEN (bx * bx + by * by) > 0.0
+      THEN (px * bx + py * by) / (bx * bx + by * by) ELSE 0.0 END)) AS t
+  FROM proj
+),
+dist AS (
+  SELECT route_id, c_custkey, min({_SQL_PROX_D}) AS dist_m
+  FROM tt GROUP BY 1, 2
+)
+SELECT route_id, c_custkey,
+       CAST(round(dist_m * 1000.0) AS BIGINT) AS dist_mm,
+       CAST(dist_m > 150.0 AS INT) AS too_far
+FROM dist
+"""
+
+
 def q_knn_customers_suppliers(spark, sf):
     from osm_pt_validator_spark.spatial.knn import knn_join
 
@@ -2568,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_events": wrap(q_cell_counts_events),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
+        "stop_route_proximity": wrap(q_stop_route_proximity),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
         "salted_cell_join": wrap(q_salted_cell_join),
@@ -2633,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_events": SQL_CELL_COUNTS,
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
+        "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,
         "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
         "salted_cell_join": SQL_SALTED_JOIN,

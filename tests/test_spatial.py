@@ -339,3 +339,68 @@ def test_tile_pyramid_invariants(spark, tmp_path):
     plan = plan_of(pyr)
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1, f"pyramid must scan the input once:\n{plan}"
+
+
+def test_point_to_segment_distance_geometry(spark):
+    """Closed-form point-to-segment distance: on-line points -> ~0;
+    perpendicular offsets -> ~haversine of the offset; beyond an
+    endpoint the clamp measures to the endpoint, not the infinite
+    line."""
+    from pyspark.sql import functions as F
+
+    from osm_pt_validator_spark.spatial.proximity import point_to_segment_m
+
+    lat0 = 55.95
+    # 1 deg lon at lat0 ~ 62.3 km; use small offsets
+    cases = [
+        # (plat, plon, lat1, lon1, lat2, lon2, expected_m, tol_m)
+        (lat0, -3.10, lat0, -3.20, lat0, -3.00, 0.0, 0.01),       # on the line
+        (lat0 + 0.001, -3.10, lat0, -3.20, lat0, -3.00, 111.2, 0.5),  # perp ~111 m
+        (lat0, -3.30, lat0, -3.20, lat0, -3.00, 6232.0, 40.0),    # beyond A -> clamp
+        (lat0, -3.20, lat0, -3.20, lat0, -3.20, 0.0, 0.01),       # degenerate A==B
+        (lat0 + 0.001, -3.20, lat0, -3.20, lat0, -3.20, 111.2, 0.5),
+    ]
+    df = spark.createDataFrame(
+        [c[:6] for c in cases],
+        "plat double, plon double, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = df.select(
+        point_to_segment_m(
+            F.col("plat"), F.col("plon"),
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+        ).alias("d")
+    ).collect()
+    for (exp, tol), r in zip([(c[6], c[7]) for c in cases], got):
+        assert abs(r.d - exp) < tol, (exp, r.d)
+
+
+def test_stop_route_proximity_fixture_routes(spark):
+    """A two-segment route with one on-route stop and one offset stop:
+    only the offset stop is flagged, and its distance matches the
+    perpendicular offset."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osm_pt_validator_spark.spatial.proximity import (
+        segments_from_polylines,
+        stop_route_proximity,
+    )
+
+    verts = spark.createDataFrame(
+        [(1, 0, 55.95, -3.20), (1, 1, 55.95, -3.10), (1, 2, 55.96, -3.10)],
+        "route_id long, seq long, lat double, lon double",
+    )
+    segs = segments_from_polylines(verts, "route_id", "seq")
+    assert segs.count() == 2
+    stops = spark.createDataFrame(
+        [(1, 10, 55.95, -3.15),        # mid first segment -> 0 m
+         (1, 11, 55.9545, -3.15)],     # 0.0045 deg (~500 m) north of it
+        "route_id long, stop_id long, lat double, lon double",
+    )
+    out = {
+        r.stop_id: r
+        for r in stop_route_proximity(
+            stops, segs, "route_id", "stop_id", max_m=25.0
+        ).collect()
+    }
+    assert out[10].dist_m < 0.01 and not out[10].too_far
+    assert 495.0 < out[11].dist_m < 505.0 and out[11].too_far
