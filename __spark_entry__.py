@@ -872,6 +872,43 @@ FROM dist
 """
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    eval set; every other doc sharing >= 1 word-trigram is reported,
+    contaminated iff >= 2 distinct shared trigrams
+    (operators/curation.py:decontaminate — broadcast eval shingles, so
+    the corpus never shuffles for the join)."""
+    from osm_pt_validator_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(corpus, bench, shingle_n=3, min_overlap=2)
+    return out.select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKENS.format(t="text")} AS toks FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS sh
+  FROM d),
+bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 <> 0),
+hit AS (SELECT doc_id, count(DISTINCT gram) AS n_overlap
+        FROM corp JOIN bench USING (gram) GROUP BY 1)
+SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(n_overlap >= 2 AS INT) AS contaminated
+FROM hit
+"""
+
+
 def q_knn_customers_suppliers(spark, sf):
     from osm_pt_validator_spark.spatial.knn import knn_join
 
@@ -2654,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "stop_route_proximity": wrap(q_stop_route_proximity),
+        "decontaminate": wrap(q_decontaminate),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
         "salted_cell_join": wrap(q_salted_cell_join),
@@ -2720,6 +2758,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,
+        "decontaminate": SQL_DECONTAMINATE,
         "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
         "salted_cell_join": SQL_SALTED_JOIN,

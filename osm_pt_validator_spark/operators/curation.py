@@ -123,3 +123,50 @@ def pack_chunks(
             "chunk_last"
         ),
     )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word
+    n-grams with an evaluation set (the standard pre-training hygiene
+    pass — eval contamination inflates downstream scores).
+
+    Output: one row per corpus doc with >=1 overlapping shingle —
+    (doc_id, n_overlap, contaminated) where contaminated marks
+    n_overlap >= min_overlap.
+
+    Scale shape (100 TB corpus vs MB-scale eval sets): the benchmark
+    shingle set is distinct-ed and BROADCAST, so the corpus side never
+    shuffles for the join — shingle explode, broadcast hash join, then
+    a groupBy(doc_id) whose input is only the HIT rows (corpus docs
+    mostly miss, so the exchange is tiny). countDistinct dedups grams
+    that recur inside one doc. If the eval set ever outgrows broadcast
+    range, drop the explicit broadcast() and let AQE pick the join —
+    the code path is unchanged.
+    """
+    from osm_pt_validator_spark.operators.dedup import shingles
+
+    corpus_sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_overlap"))
+    )
+    return hits.withColumn(
+        "contaminated", (F.col("n_overlap") >= F.lit(min_overlap)).cast("int")
+    )

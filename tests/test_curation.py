@@ -93,3 +93,33 @@ def test_pack_chunks_zero_token_doc_occupies_no_span(spark):
     # same position, and the empty doc's chunk_last never exceeds the
     # chunk its start position falls in
     assert rows[2].chunk_last <= rows[2].chunk_first
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing >= min_overlap distinct trigrams with the eval set
+    are contaminated; single-trigram overlap is reported unflagged;
+    disjoint docs don't appear at all. The eval-side join is a
+    broadcast (corpus never shuffles for it)."""
+    import re
+
+    from osm_pt_validator_spark.operators.curation import decontaminate
+    from tests.test_plans import plan_of
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox leapt away"),        # trigrams: 'the quick brown','quick brown fox' -> 2
+            (2, "a quick brown fox appears here today"),  # 'quick brown fox' -> 1
+            (3, "completely unrelated text with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, 3, 2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_overlap == 2 and out[1].contaminated == 1
+    assert out[2].n_overlap == 1 and out[2].contaminated == 0
+    plan = plan_of(decontaminate(corpus, bench, 3, 2))
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M), plan
