@@ -909,6 +909,72 @@ FROM hit
 """
 
 
+# two relation snapshots for the incremental diff: rel 1 unchanged,
+# rel 2 role edited, rel 3 only in new, rel 4 only in old, rel 5 tag
+# edited, rel 6 member order swapped (order IS semantics)
+_INC_OLD_MEMBERS: list[tuple[int, int, str, int, str]] = [
+    (1, 0, "node", 102, "stop"), (1, 1, "way", 3, ""),
+    (2, 0, "node", 102, "stop"), (2, 1, "way", 3, ""),
+    (4, 0, "way", 5, ""),
+    (5, 0, "way", 4, ""),
+    (6, 0, "node", 102, "stop"), (6, 1, "node", 104, "stop"),
+]
+_INC_NEW_MEMBERS: list[tuple[int, int, str, int, str]] = [
+    (1, 0, "node", 102, "stop"), (1, 1, "way", 3, ""),
+    (2, 0, "node", 102, "stop"), (2, 1, "way", 3, "forward"),
+    (3, 0, "way", 7, ""),
+    (5, 0, "way", 4, ""),
+    (6, 0, "node", 104, "stop"), (6, 1, "node", 102, "stop"),
+]
+_INC_OLD_TAGS = {1: {"type": "route"}, 5: {"name": "A", "ref": "22"}}
+_INC_NEW_TAGS = {1: {"type": "route"}, 5: {"name": "B", "ref": "22"}}
+
+
+def q_incremental_workset(spark, sf):
+    """Snapshot diff for incremental validation: canonical member/tag
+    content hash per relation, full-outer diff -> new / gone / changed
+    / unchanged (operators/incremental.py)."""
+    from osm_pt_validator_spark.operators.incremental import incremental_workset
+
+    old = _rels_from_members(spark, _INC_OLD_MEMBERS, _INC_OLD_TAGS)
+    new = _rels_from_members(spark, _INC_NEW_MEMBERS, _INC_NEW_TAGS)
+    return incremental_workset(old, new)
+
+
+def _sql_inc_hash(mem_cte: str, tag_cte: str) -> str:
+    """Canonical content string per relation, replayed in SQL: ordered
+    member triples + key-sorted tags, same separators as
+    relation_content_hash."""
+    return f"""
+SELECT m.relation_id,
+       md5(m.mem || '#' || COALESCE(t.tag, '')) AS h
+FROM (SELECT relation_id,
+             string_agg(t || ':' || CAST(ref AS VARCHAR) || ':' || role,
+                        '|' ORDER BY member_idx) AS mem
+      FROM {mem_cte} GROUP BY 1) m
+LEFT JOIN (SELECT relation_id,
+                  string_agg(k || '=' || v, '|' ORDER BY k) AS tag
+           FROM {tag_cte} GROUP BY 1) t
+ON m.relation_id = t.relation_id
+"""
+
+
+SQL_INCREMENTAL_WORKSET = f"""
+WITH mo(relation_id, member_idx, t, ref, role) AS (VALUES {_values(_INC_OLD_MEMBERS)}),
+mn(relation_id, member_idx, t, ref, role) AS (VALUES {_values(_INC_NEW_MEMBERS)}),
+tago(relation_id, k, v) AS (VALUES {_tag_values(_INC_OLD_TAGS)}),
+tagn(relation_id, k, v) AS (VALUES {_tag_values(_INC_NEW_TAGS)}),
+oh AS ({_sql_inc_hash("mo", "tago")}),
+nh AS ({_sql_inc_hash("mn", "tagn")})
+SELECT COALESCE(nh.relation_id, oh.relation_id) AS relation_id,
+  CASE WHEN oh.h IS NULL THEN 'new'
+       WHEN nh.h IS NULL THEN 'gone'
+       WHEN oh.h <> nh.h THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM nh FULL OUTER JOIN oh ON nh.relation_id = oh.relation_id
+"""
+
+
 def q_knn_customers_suppliers(spark, sf):
     from osm_pt_validator_spark.spatial.knn import knn_join
 
@@ -2692,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "stop_route_proximity": wrap(q_stop_route_proximity),
         "decontaminate": wrap(q_decontaminate),
+        "incremental_workset": wrap(q_incremental_workset),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
         "salted_cell_join": wrap(q_salted_cell_join),
@@ -2759,6 +2826,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,
         "decontaminate": SQL_DECONTAMINATE,
+        "incremental_workset": SQL_INCREMENTAL_WORKSET,
         "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
         "salted_cell_join": SQL_SALTED_JOIN,

@@ -387,3 +387,52 @@ def test_nested_route_master_member_validated_as_route(spark, dims):
     )
     # the nested master's own member is still fanned out and valid
     assert sorted_verdicts(verdicts, 9722) == []
+
+
+def test_validate_incremental_only_changed(spark, dims):
+    """Incremental validation: unchanged relations produce no verdicts
+    (skipped entirely), changed/new ones are validated identically to a
+    full run, and gone relations get the 410-parity verdict."""
+    from osm_pt_validator_spark.operators.incremental import (
+        incremental_workset,
+        validate_incremental,
+    )
+
+    nodes, ways = dims
+    # old snapshot: r1 valid, r2 misordered, r4 valid (deleted later)
+    old = relations_df(spark, [
+        relation_row(1, stop_members(102, 104) + way_members(3, 4), route_tags()),
+        relation_row(2, stop_members(102, 104) + way_members(1, 3), route_tags()),
+        relation_row(4, stop_members(102, 104) + way_members(3, 4), route_tags()),
+    ])
+    # new snapshot: r1 untouched, r2 edited (still misordered), r3 new
+    new = relations_df(spark, [
+        relation_row(1, stop_members(102, 104) + way_members(3, 4), route_tags()),
+        relation_row(2, stop_members(104, 102) + way_members(1, 3), route_tags()),
+        relation_row(3, stop_members(102, 104) + way_members(1, 3), route_tags()),
+    ])
+
+    ws = {r.relation_id: r.status for r in incremental_workset(old, new).collect()}
+    assert ws == {1: "unchanged", 2: "changed", 3: "new", 4: "gone"}
+
+    verdicts, errors, _ = validate_incremental(old, new, nodes, ways, ValidationConfig())
+    got = verdicts.collect()
+    by_rel = {}
+    for r in got:
+        by_rel.setdefault(r.relation_id, set()).add(r.message)
+    # unchanged r1 skipped entirely; gone r4 gets the 410 verdict
+    assert 1 not in by_rel
+    assert by_rel[4] == {"relation no longer exists"}
+
+    # changed/new relations match the full-run verdicts exactly
+    full_v, full_e = validate_all(new, nodes, ways, ValidationConfig())
+    full = sorted(
+        (r.relation_id, r.stage_no, r.seq, r.url, r.message)
+        for r in full_v.collect() if r.relation_id in (2, 3)
+    )
+    inc = sorted(
+        (r.relation_id, r.stage_no, r.seq, r.url, r.message)
+        for r in got if r.relation_id in (2, 3)
+    )
+    assert inc == full and full, "changed subset must reproduce full-run verdicts"
+    assert errors.count() == full_e.filter(F.col("relation_id").isin(2, 3)).count()
