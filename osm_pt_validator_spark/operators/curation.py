@@ -1,8 +1,8 @@
 """Corpus curation operators a training-data pipeline needs AFTER
-dedup: deterministic subsampling, language rebalancing, and
-concat-and-chunk token packing.
+dedup: deterministic subsampling, language rebalancing,
+concat-and-chunk token packing, and benchmark decontamination.
 
-All three are pure column algebra / window functions — whole-stage
+All are pure column algebra / window functions — whole-stage
 codegen, no Python in the hot path, and every hash is the repo's
 md5-derived int64 (functions/hashing.py) so a DuckDB oracle replays
 them bit-for-bit.
