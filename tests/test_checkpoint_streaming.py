@@ -278,3 +278,61 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_streaming_incremental_skips_unchanged_recrawls(spark, tmp_path):
+    """dropDuplicates-on-(id, content_hash) gating: an unchanged
+    recrawl in a later micro-batch produces NO new verdict rows (it
+    never reaches the validator), while a changed relation and a new
+    relation are validated."""
+    from osm_pt_validator_spark.config import ValidationConfig
+    from osm_pt_validator_spark.fixtures import (
+        nodes_df,
+        relation_row,
+        relations_df,
+        route_tags,
+        stop_members,
+        way_members,
+        ways_df,
+    )
+    from osm_pt_validator_spark.schemas import RELATION_SCHEMA
+    from osm_pt_validator_spark.streaming.incremental import (
+        streaming_validate_incremental,
+    )
+
+    src = str(tmp_path / "inc_stream")
+    out = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+    os.makedirs(src, exist_ok=True)
+    nodes, ways = nodes_df(spark), ways_df(spark)
+
+    def arrive(rows, name):
+        relations_df(spark, rows).coalesce(1).write.parquet(os.path.join(src, name))
+        stream = spark.readStream.schema(RELATION_SCHEMA).parquet(src + "/*")
+        q = streaming_validate_incremental(
+            stream, nodes, ways, out, ckpt, config=ValidationConfig()
+        )
+        q.awaitTermination()
+
+    # batch 1: r1 valid, r2 misordered
+    arrive([
+        relation_row(1, stop_members(102, 104) + way_members(3, 4), route_tags()),
+        relation_row(2, stop_members(100, 102) + way_members(1, 3), route_tags()),
+    ], "b1")
+    v1 = sorted((r.relation_id, r.message) for r in spark.read.parquet(out).collect())
+    assert v1 == [(2, "ways are incorrectly ordered")]
+
+    # batch 2: r2 recrawled UNCHANGED (dropped by the state gate),
+    # r1 changed to a misorder (new pair -> validated), r3 new
+    arrive([
+        relation_row(2, stop_members(100, 102) + way_members(1, 3), route_tags()),
+        relation_row(1, stop_members(100, 102) + way_members(1, 3), route_tags()),
+        relation_row(3, stop_members(107, 110) + way_members(5, 7), route_tags()),
+    ], "b2")
+    v2 = sorted((r.relation_id, r.message) for r in spark.read.parquet(out).collect())
+    # r2's verdict appears exactly once: the recrawl was never re-validated
+    assert v2 == [
+        (1, "ways are incorrectly ordered"),
+        (2, "ways are incorrectly ordered"),
+        (3, "way with oneway tag is traversed in wrong direction"),
+    ]
