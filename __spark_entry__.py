@@ -1007,6 +1007,44 @@ WHERE rnk <= 2
 """
 
 
+def q_distance_within_pairs(spark, sf):
+    """Radius join (spatial/joins.py:distance_join): every (customer,
+    supplier) pair within 400 m — cell-neighborhood candidate join with
+    a per-row cos(lat)-adaptive longitude ring, then exact haversine.
+    The oracle is an independent brute-force cross join, so a recall
+    miss in the candidate ring fails the hash compare."""
+    from osm_pt_validator_spark.spatial.joins import distance_join
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        _supp_lat(F.col("s_suppkey")).alias("lat"),
+        _supp_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    return distance_join(c, s, 400.0, broadcast_right=True).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(F.col("distance_m") * 1000.0).cast("long").alias("dist_mm"),
+    )
+
+
+SQL_DISTANCE_WITHIN = f"""
+SELECT c_custkey, s_suppkey, CAST(round(d * 1000.0) AS BIGINT) AS dist_mm
+FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+    {_sql_haversine(_SQL_CUST_LAT.replace("c_custkey", "c.c_custkey"),
+                    _SQL_CUST_LON.replace("c_custkey", "c.c_custkey"),
+                    _SQL_SUPP_LAT.replace("s_suppkey", "s.s_suppkey"),
+                    _SQL_SUPP_LON.replace("s_suppkey", "s.s_suppkey"))} AS d
+  FROM customer c CROSS JOIN supplier s)
+WHERE d <= 400.0
+"""
+
+
 def q_salted_cell_join(spark, sf):
     from osm_pt_validator_spark.functions.geo import cell
     from osm_pt_validator_spark.spatial.joins import salted_equi_join
@@ -2761,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_workset": wrap(q_incremental_workset),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
+        "distance_within_pairs": wrap(q_distance_within_pairs),
         "salted_cell_join": wrap(q_salted_cell_join),
         # text / dedup / similarity
         "doc_stats": wrap(q_doc_stats),
@@ -2829,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_workset": SQL_INCREMENTAL_WORKSET,
         "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
+        "distance_within_pairs": SQL_DISTANCE_WITHIN,
         "salted_cell_join": SQL_SALTED_JOIN,
         "doc_stats": _sql_doc_stats(),
         "doc_quality": _sql_doc_quality(),

@@ -11,11 +11,22 @@ keys come from a cheap sampled frequency estimate of the probe side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from osm_pt_validator_spark.functions.geo import DEFAULT_RES, cell
+from osm_pt_validator_spark.functions.geo import (
+    DEFAULT_RES,
+    EARTH_RADIUS_M,
+    cell,
+    cell_i,
+    cell_j,
+    haversine_m,
+)
+
+METERS_PER_DEG_LAT = EARTH_RADIUS_M * math.pi / 180.0
 
 
 def with_cell(df: DataFrame, lat: str = "lat", lon: str = "lon", res: int = DEFAULT_RES,
@@ -129,3 +140,103 @@ def salted_equi_join(
     if shuffle_hash:
         b = b.hint("SHUFFLE_HASH")
     return p.join(b, [key, "__salt"], "inner").drop("__salt")
+
+
+def resolution_for_distance(max_dist_m: float) -> int:
+    """Largest grid resolution whose cell HEIGHT still covers
+    ``max_dist_m`` — the latitude ring of :func:`distance_join` is then
+    always 1 cell, so candidate fan-out stays at its minimum."""
+    res = int(math.floor(math.log2(180.0 * METERS_PER_DEG_LAT / max_dist_m)))
+    return max(0, min(28, res))
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist_m: float,
+    res: int | None = None,
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "lat",
+    right_lon: str = "lon",
+    broadcast_right: bool = False,
+    max_lon_ring: int = 64,
+) -> DataFrame:
+    """All (left, right) pairs within ``max_dist_m`` meters (inclusive)
+    — the radius join that kNN does not express (kNN bounds the COUNT
+    per probe; this bounds the DISTANCE, with 0..n matches per row).
+
+    Plan shape: candidate generation is a per-row neighbourhood of grid
+    cells on the left side (array algebra, no shuffle), an equi-join on
+    the packed cell (one shuffle, or zero with ``broadcast_right``),
+    then the exact haversine filter. Never a cartesian product, never a
+    theta-join: at 100 TB the only thing that moves is (left rows ×
+    small constant fan-out) through a hash join.
+
+    Correctness of candidate recall:
+
+    * latitude: cells at resolution ``res`` span ``cell_h_m`` meters of
+      latitude; the i-ring is ``ceil(max_dist_m / cell_h_m)`` cells, so
+      any pair within the budget shares an i window. With the default
+      auto-resolution the ring is exactly 1.
+    * longitude: a cell's WIDTH in meters shrinks with cos(lat), so the
+      j-ring must widen per row — computed from the worst-case latitude
+      the pair can reach (|row lat| + the distance budget in degrees),
+      clamped at 85°. Polar-cap data (|lat| > 85°) is outside the
+      recall contract — use a coarser ``res`` there.
+
+    The per-row j-ring is also the skew story: equatorial rows fan out
+    to 3 cells, arctic rows to more — paying the fan-out only where
+    geometry demands it instead of sizing the whole grid for the worst
+    latitude. ``max_lon_ring`` caps pathological rows.
+
+    Right-side columns whose names collide with left's are suffixed
+    ``_r`` in the output. Output adds ``distance_m``.
+    """
+    if res is None:
+        res = resolution_for_distance(max_dist_m)
+    n = 1 << res
+    cell_h_m = 180.0 / n * METERS_PER_DEG_LAT
+    ki = max(1, math.ceil(max_dist_m / cell_h_m))
+    dlat_deg = max_dist_m / METERS_PER_DEG_LAT
+
+    lat_c = F.col(left_lat)
+    worst_lat = F.least(F.abs(lat_c) + F.lit(dlat_deg), F.lit(85.0))
+    cell_w_m = F.lit(2.0 * cell_h_m) * F.cos(F.radians(worst_lat))
+    kj = F.least(
+        F.ceil(F.lit(float(max_dist_m)) / cell_w_m), F.lit(max_lon_ring)
+    ).cast("int")
+
+    i, j = cell_i(lat_c, res), cell_j(F.col(left_lon), res)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-ki), F.lit(ki)),
+            lambda a: F.transform(
+                F.sequence(-kj, kj),
+                lambda b: F.struct((i + a).alias("i"), (j + b).alias("j")),
+            ),
+        )
+    )
+    in_grid = F.filter(
+        pairs,
+        lambda p: (p["i"] >= 0) & (p["i"] < n) & (p["j"] >= 0) & (p["j"] < n),
+    )
+    cells = F.transform(in_grid, lambda p: F.shiftleft(p["i"], 32).bitwiseOR(p["j"]))
+    lf = left.withColumn("__cell", F.explode(cells))
+
+    renames = {c: (c + "_r" if c in left.columns else c) for c in right.columns}
+    rt = right.select([F.col(c).alias(renames[c]) for c in right.columns])
+    r_lat, r_lon = renames[right_lat], renames[right_lon]
+    rt = rt.withColumn("__cell", cell(F.col(r_lat), F.col(r_lon), res))
+    if broadcast_right:
+        rt = broadcast(rt)
+
+    return (
+        lf.join(rt, "__cell", "inner")
+        .withColumn(
+            "distance_m",
+            haversine_m(F.col(left_lat), F.col(left_lon), F.col(r_lat), F.col(r_lon)),
+        )
+        .filter(F.col("distance_m") <= F.lit(float(max_dist_m)))
+        .drop("__cell")
+    )

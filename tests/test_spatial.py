@@ -404,3 +404,70 @@ def test_stop_route_proximity_fixture_routes(spark):
     }
     assert out[10].dist_m < 0.01 and not out[10].too_far
     assert 495.0 < out[11].dist_m < 505.0 and out[11].too_far
+
+
+def test_distance_join_vs_bruteforce(spark):
+    from osm_pt_validator_spark.spatial.joins import distance_join
+
+    probe_rows, probe = _grid_points(spark, 80)
+    build_rows = [(100 + i, 55.90 + i * 1.7e-3, -3.30 + i * 1.3e-3) for i in range(12)]
+    build = spark.createDataFrame(build_rows, "stop_id long, blat double, blon double")
+
+    d = 250.0
+    got = sorted(
+        (r.point_id, r.stop_id, round(r.distance_m, 6))
+        for r in distance_join(
+            probe, build, d, right_lat="blat", right_lon="blon"
+        ).collect()
+    )
+    want = sorted(
+        (pid, bid, round(oracle_haversine(plat, plon, blat, blon), 6))
+        for pid, plat, plon in probe_rows
+        for bid, blat, blon in build_rows
+        if oracle_haversine(plat, plon, blat, blon) <= d
+    )
+    assert got == want and len(want) > 10
+
+
+def test_distance_join_high_latitude_widens_lon_ring(spark):
+    """At 84°N a fixed 1-cell j-ring would MISS an eastward neighbour
+    ~4 narrow cells away; the per-row cos(lat)-adaptive ring must catch
+    it (and brute force agrees)."""
+    from osm_pt_validator_spark.spatial.joins import distance_join
+
+    # 500 m east at 84°N is 500 / (111194.93 * cos(84°)) ≈ 0.043° lon
+    left = spark.createDataFrame(
+        [(1, 84.0, 20.0)], "lid long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(10, 84.0, 20.043), (11, 84.0, 20.30)],
+        "rid long, lat double, lon double",
+    )
+    got = sorted(
+        r.rid for r in distance_join(left, right, 600.0).collect()
+    )
+    assert got == [10]
+    # sanity: the match really is several cells east at the auto res
+    from osm_pt_validator_spark.spatial.joins import (
+        METERS_PER_DEG_LAT,
+        resolution_for_distance,
+    )
+    res = resolution_for_distance(600.0)
+    n = 1 << res
+    cells_east = 0.043 / (360.0 / n)
+    assert cells_east > 2.0
+
+
+def test_distance_join_no_cartesian_in_plan(spark):
+    from osm_pt_validator_spark.spatial.joins import distance_join
+
+    _, probe = _grid_points(spark, 20)
+    build = spark.createDataFrame(
+        [(1, 55.9, -3.3)], "stop_id long, blat double, blon double"
+    )
+    plan = distance_join(
+        probe, build, 300.0, right_lat="blat", right_lon="blon",
+        broadcast_right=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
