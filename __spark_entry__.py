@@ -1217,6 +1217,30 @@ WHERE {bucket} % 1000000 < 250000
 """
 
 
+def q_corpus_split(spark, sf):
+    """Leakage-safe train/val/test split (curation.grouped_split): the
+    split is a pure function of the `source` (site) key, so a site's
+    near-identical pages can never straddle the train/eval boundary.
+    Pure projection — no shuffle."""
+    from osm_pt_validator_spark.operators.curation import grouped_split
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return grouped_split(d, "source")
+
+
+def _sql_corpus_split() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    bucket = f"({md5_i64_sql('CAST(source AS VARCHAR)', 'split')} % 1000000)"
+    return f"""
+SELECT doc_id, source,
+  CASE WHEN {bucket} < 900000 THEN 'train'
+       WHEN {bucket} < 950000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_lang_quota(spark, sf):
     """Language rebalancing (curation.lang_quota): keep the top-60
     docs per language by quality score — trims the en-heavy skew to a
@@ -1458,7 +1482,7 @@ FROM sh s CROSS JOIN par p
 """
 
 
-def q_near_dup_pairs(spark, sf):
+def q_near_dup_pairs(spark, sf, min_ppm: int = 500000):
     from osm_pt_validator_spark.operators.dedup import shingles
 
     # precompute shingle arrays once per doc (re-tokenising inside the
@@ -1491,7 +1515,7 @@ def q_near_dup_pairs(spark, sf):
         pairs.select(
             "doc_a", "doc_b", F.round(jac * 1e6).cast("long").alias("jaccard_ppm")
         )
-        .filter(F.col("jaccard_ppm") >= 500000)
+        .filter(F.col("jaccard_ppm") >= min_ppm)
     )
 
 
@@ -1512,6 +1536,41 @@ pairs AS (
       ELSE 0.0 END, 6) * 1e6) AS BIGINT) AS jaccard_ppm
   FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
 SELECT doc_a, doc_b, jaccard_ppm FROM pairs WHERE jaccard_ppm >= 500000
+"""
+
+
+def q_split_leakage(spark, sf):
+    """Cross-split contamination audit (curation.split_leakage): the
+    n-gram-Jaccard near-dup pairs that straddle the grouped
+    train/val/test boundary — the leakage a site-level split cannot
+    prevent (cross-site mirrors/syndication) and the audit a training
+    pipeline runs before the corpus ships."""
+    from osm_pt_validator_spark.operators.curation import split_leakage
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    # audit at a LOOSER floor (2% Jaccard) than dedup's 50%: leakage
+    # review wants candidate recall, not dedup precision
+    pairs = q_near_dup_pairs(spark, sf, min_ppm=20000).select("doc_a", "doc_b")
+    return split_leakage(docs, pairs)
+
+
+def _sql_split_leakage() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    bucket = f"({md5_i64_sql('CAST(source AS VARCHAR)', 'split')} % 1000000)"
+    return f"""
+WITH nd AS (SELECT doc_a, doc_b FROM ({_sql_near_dup().replace(">= 500000", ">= 20000")})),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {bucket} < 900000 THEN 'train'
+         WHEN {bucket} < 950000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT nd.doc_a, nd.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM nd
+JOIN sp sa ON sa.doc_id = nd.doc_a
+JOIN sp sb ON sb.doc_id = nd.doc_b
+WHERE sa.split <> sb.split
 """
 
 
@@ -2810,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept": wrap(q_dedup_kept),
         "corpus_curate": wrap(q_corpus_curate),
         "corpus_sample": wrap(q_corpus_sample),
+        "corpus_split": wrap(q_corpus_split),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
         "doc_repetition": wrap(q_doc_repetition),
@@ -2825,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": wrap(q_session_stats_events),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
+        "split_leakage": wrap(q_split_leakage),
         "near_dup_clusters": wrap(q_near_dup_clusters),
         "dedup_clusters_kept": wrap(q_dedup_clusters_kept),
         "embedding_topk": wrap(q_embedding_topk),
@@ -2876,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_kept": SQL_DEDUP_KEPT,
         "corpus_curate": _sql_corpus_curate(),
         "corpus_sample": _sql_corpus_sample(),
+        "corpus_split": _sql_corpus_split(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),
         "doc_repetition": _sql_doc_repetition(),
@@ -2889,6 +2951,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
+        "split_leakage": _sql_split_leakage(),
         "near_dup_clusters": _sql_near_dup_clusters(),
         "dedup_clusters_kept": _sql_dedup_clusters_kept(),
         "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -170,3 +170,78 @@ def decontaminate(
     return hits.withColumn(
         "contaminated", (F.col("n_overlap") >= F.lit(min_overlap)).cast("int")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP key (site/domain/source), so every document
+    of a group lands in the same split and boilerplate-level near-dups
+    within a site can never straddle the train/eval boundary — the
+    standard guard against eval contamination that a row-level split
+    does not give.
+
+    Pure projection (no shuffle, no state): bucket = md5(salt||group)
+    in [0, 1e6), mapped to splits by cumulative weight in dict order.
+    Deterministic across runs, engines, and repartitioning — the same
+    property :func:`hash_sample` builds on. Output: input + `split`.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = sample_bucket(F.col(group_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * 1000000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
+def split_leakage(
+    documents: DataFrame,
+    pairs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split contamination audit: which near-dup pairs straddle
+    the train/eval boundary despite the grouped split?
+
+    `pairs` is any (doc_a, doc_b) near-dup table (MinHash-LSH, SimHash,
+    n-gram Jaccard, embedding-cosine — all in-tree produce this shape).
+    Each side picks up its split via an equi-join on the id; pairs with
+    equal splits are dropped. Within-group near-dups can never leak by
+    construction of :func:`grouped_split`; what this catches is
+    CROSS-group duplication (syndicated articles, mirrors, scrapers) —
+    the leakage mode a grouped split cannot prevent and the reason the
+    audit must run before training. Output: doc_a, doc_b, split_a,
+    split_b.
+    """
+    splits = grouped_split(
+        documents.select(F.col(id_col), F.col(group_col)), group_col, weights, salt
+    ).select(F.col(id_col), F.col("split"))
+    return (
+        pairs.join(
+            splits.select(
+                F.col(id_col).alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col(id_col).alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )

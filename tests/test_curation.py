@@ -123,3 +123,69 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert out[2].n_overlap == 1 and out[2].contaminated == 0
     plan = plan_of(decontaminate(corpus, bench, 3, 2))
     assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M), plan
+
+
+def test_grouped_split_is_leakage_safe_and_deterministic(spark):
+    from osm_pt_validator_spark.operators.curation import grouped_split
+
+    rows = [(i, f"site-{i % 17}.example", f"text {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = grouped_split(df, "source").select("doc_id", "source", "split")
+
+    got = {r.doc_id: (r.source, r.split) for r in out.collect()}
+    assert len(got) == 300
+    # leakage-safe: one split per group, however many rows the group has
+    by_group: dict[str, set[str]] = {}
+    for src, split in got.values():
+        by_group.setdefault(src, set()).add(split)
+    assert all(len(s) == 1 for s in by_group.values())
+    assert set().union(*by_group.values()) <= {"train", "val", "test"}
+
+    # deterministic under repartition (split depends only on the key)
+    again = {
+        r.doc_id: (r.source, r.split)
+        for r in grouped_split(df.repartition(7), "source").collect()
+    }
+    assert again == got
+
+    # weights steer the proportions (degenerate 100%-train sanity)
+    only = grouped_split(df, "source", weights={"train": 1.0}).select("split")
+    assert set(r.split for r in only.collect()) == {"train"}
+
+
+def test_grouped_split_no_shuffle(spark):
+    from osm_pt_validator_spark.operators.curation import grouped_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = grouped_split(df, "source")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_leakage_flags_only_cross_split_pairs(spark):
+    from osm_pt_validator_spark.operators.curation import (
+        grouped_split,
+        split_leakage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a.example"), (2, "a.example"), (3, "b.example"), (4, "c.example")],
+        "doc_id long, source string",
+    )
+    splits = {
+        r.doc_id: r.split for r in grouped_split(docs, "source").collect()
+    }
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.split_a, r.split_b)
+        for r in split_leakage(docs, pairs).collect()
+    )
+    want = sorted(
+        (a, b, splits[a], splits[b])
+        for a, b in [(1, 2), (1, 3), (2, 4), (3, 4)]
+        if splits[a] != splits[b]
+    )
+    assert got == want
+    # same-group pairs can never leak (grouped split is constant per group)
+    assert (1, 2, splits[1], splits[2]) not in got
