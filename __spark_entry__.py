@@ -731,6 +731,110 @@ FROM events GROUP BY 1
 """
 
 
+ZONE_POLYS = [
+    (1, [-3.300, -3.260, -3.260, -3.300], [55.900, 55.900, 55.950, 55.950]),
+    (2, [-3.250, -3.210, -3.210, -3.250], [55.940, 55.940, 56.000, 56.000]),
+]
+
+
+def q_zonal_stats(spark, sf):
+    """Zonal statistics (spatial/zones.py): count + balance-sum of the
+    customers contained in each of two literal polygons — cell-cover
+    candidates -> exact ray-cast, then one aggregation per zone."""
+    from osm_pt_validator_spark.spatial.zones import zonal_stats
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+        _cents(F.col("c_acctbal")).alias("val"),
+    )
+    polygons = spark.createDataFrame(
+        ZONE_POLYS, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    return zonal_stats(c, polygons, value_col="val", res=10).select(
+        "polygon_id", "n_points", F.col("value_sum").cast("long").alias("value_sum")
+    )
+
+
+def _sql_crossing_parity(xs, ys, px: str, py: str) -> str:
+    """Sum of even-odd crossing terms for one polygon, rendered in the
+    numpy expression order (same contract as _sql_pip)."""
+    n = len(xs)
+    terms = []
+    for a in range(n):
+        b = (a + 1) % n
+        d = "CAST({} AS DOUBLE)"
+        x1, y1 = d.format(repr(xs[a])), d.format(repr(ys[a]))
+        x2, y2 = d.format(repr(xs[b])), d.format(repr(ys[b]))
+        terms.append(
+            f"(CASE WHEN (({y1} > {py}) <> ({y2} > {py})) AND "
+            f"{px} < {x1} + ({py} - {y1}) / ({y2} - {y1}) * ({x2} - {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_zonal_stats() -> str:
+    zones = " UNION ALL ".join(
+        f"SELECT {zid} AS polygon_id, point_id, val FROM pts "
+        f"WHERE ({_sql_crossing_parity(xs, ys, 'px', 'py')}) % 2 = 1"
+        for zid, xs, ys in ZONE_POLYS
+    )
+    return f"""
+WITH pts AS (
+  -- coordinates computed IN double (not DECIMAL-then-cast): the
+  -- crossing comparisons must see the same float64s numpy sees
+  SELECT c_custkey AS point_id, CAST(round(c_acctbal * 100) AS BIGINT) AS val,
+         CAST(55.9 AS DOUBLE) + (c_custkey % 97) * CAST(0.001 AS DOUBLE) AS py,
+         CAST(-3.3 AS DOUBLE) + ((c_custkey * 13) % 89) * CAST(0.001 AS DOUBLE) AS px
+  FROM customer)
+SELECT polygon_id, COUNT(*) AS n_points, CAST(SUM(val) AS BIGINT) AS value_sum
+FROM ({zones}) GROUP BY 1
+"""
+
+
+def q_hotspot_clusters(spark, sf):
+    """Grid-DBSCAN hotspot clustering (spatial/zones.py): cells with
+    >= 10 events are core; 8-neighbor-adjacent cores merge via the
+    iterative min-label connected-components loop. The oracle replays
+    the fixpoint with a recursive CTE."""
+    from osm_pt_validator_spark.spatial.zones import hotspot_clusters
+
+    e = _t(spark, sf, "events").select(
+        ((F.col("user_id") % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    return hotspot_clusters(e, res=7, min_count=10, max_iter=80).select(
+        "cluster_id",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
+SQL_HOTSPOT_CLUSTERS = f"""
+WITH RECURSIVE hot AS (
+  SELECT {_sql_cell("(user_id % 1700) / 10.0 - 85.0", "(event_id % 3600) / 10.0 - 180.0", 7)} AS cell,
+    COUNT(*) AS n
+  FROM events GROUP BY 1 HAVING COUNT(*) >= 10),
+edges AS (
+  SELECT a.cell AS a, b.cell AS b FROM hot a JOIN hot b
+  ON a.cell <> b.cell
+  AND abs((a.cell >> 32) - (b.cell >> 32)) <= 1
+  AND abs((a.cell & 4294967295) - (b.cell & 4294967295)) <= 1),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT h.cell, h.n, COALESCE(c.cluster_id, h.cell) AS cluster_id
+  FROM hot h LEFT JOIN comp c ON c.node = h.cell)
+SELECT cluster_id, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points
+FROM lab GROUP BY 1
+"""
+
+
 def q_tile_heatmap_customers(spark, sf):
     from osm_pt_validator_spark.spatial.tiles import failure_heatmap
 
@@ -2851,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_relations": wrap(q_parent_relations),
         # spatial (G3-G8)
         "cell_counts_events": wrap(q_cell_counts_events),
+        "zonal_stats_customers": wrap(q_zonal_stats),
+        "hotspot_clusters_events": wrap(q_hotspot_clusters),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "stop_route_proximity": wrap(q_stop_route_proximity),
@@ -2922,6 +3028,8 @@ def oracle_sql() -> dict[str, str]:
         "v_oneway_url": _sql_v_oneway(),
         "parent_relations": SQL_PARENT_RELATIONS,
         "cell_counts_events": SQL_CELL_COUNTS,
+        "zonal_stats_customers": _sql_zonal_stats(),
+        "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,

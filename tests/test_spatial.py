@@ -471,3 +471,94 @@ def test_distance_join_no_cartesian_in_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_zonal_stats_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.zones import zonal_stats
+
+    # two disjoint rectangles over the fixture grid
+    zones = [
+        (1, [-3.300, -3.295, -3.295, -3.300], [55.900, 55.900, 55.905, 55.905]),
+        (2, [-3.294, -3.290, -3.290, -3.294], [55.905, 55.905, 55.912, 55.912]),
+    ]
+    polygons = spark.createDataFrame(
+        zones, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    rows, pts = _grid_points(spark, 200)
+    pts = pts.withColumn("val", F.col("point_id") * 10)
+
+    got = {
+        r.polygon_id: (r.n_points, r.value_sum)
+        for r in zonal_stats(pts, polygons, value_col="val", res=12).collect()
+    }
+
+    def inside(px, py, xs, ys):
+        c, n = False, len(xs)
+        for a in range(n):
+            b = (a + 1) % n
+            if (ys[a] > py) != (ys[b] > py) and px < xs[a] + (py - ys[a]) / (
+                ys[b] - ys[a]
+            ) * (xs[b] - xs[a]):
+                c = not c
+        return c
+
+    want = {}
+    for pid, plat, plon in rows:
+        for zid, xs, ys in zones:
+            if inside(plon, plat, xs, ys):
+                n, s = want.get(zid, (0, 0))
+                want[zid] = (n + 1, s + pid * 10)
+    assert got == want and len(want) == 2
+
+
+def test_hotspot_clusters_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.zones import hotspot_clusters
+
+    # three dense blobs: two touching diagonally (merge via 8-adjacency),
+    # one far away; plus a sparse singleton point below min_count
+    base = []
+    for k, (la, lo) in enumerate([(55.900, -3.300), (55.9017, -3.2983), (55.95, -3.20)]):
+        base += [(100 * k + i, la + (i % 2) * 1e-4, lo + (i // 2) * 1e-4) for i in range(4)]
+    base.append((999, 55.88, -3.35))  # alone, below min_count
+    pts = spark.createDataFrame(base, "point_id long, lat double, lon double")
+
+    res = 15
+    got = sorted(
+        (r.n_cells, r.n_points)
+        for r in hotspot_clusters(pts, res=res, min_count=2).collect()
+    )
+
+    # python oracle: same grid, same adjacency, same min_count
+    def enc(la, lo):
+        n = 1 << res
+        i = min(n - 1, max(0, int((la + 90.0) / 180.0 * n)))
+        j = min(n - 1, max(0, int((lo + 180.0) / 360.0 * n)))
+        return (i, j)
+
+    from collections import Counter
+
+    counts = Counter(enc(la, lo) for _, la, lo in base)
+    hot = {c for c, n in counts.items() if n >= 2}
+    parent = {c: c for c in hot}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (i, j) in hot:
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                nb = (i + di, j + dj)
+                if nb != (i, j) and nb in hot:
+                    ra, rb = find((i, j)), find(nb)
+                    if ra != rb:
+                        parent[rb] = ra
+    clusters = {}
+    for c in hot:
+        r = find(c)
+        ncells, npts = clusters.get(r, (0, 0))
+        clusters[r] = (ncells + 1, npts + counts[c])
+    want = sorted(clusters.values())
+    assert got == want and len(want) >= 2
