@@ -1149,6 +1149,49 @@ WHERE d <= 400.0
 """
 
 
+def q_transfer_candidates(spark, sf):
+    """Transfer-opportunity detection: pairs of stops on DIFFERENT
+    routes within 250 m — the self-join shape of the radius join
+    (route = nation, stops = customers). The network-analysis question
+    a PT validator's downstream consumers ask of the verdict corpus."""
+    from osm_pt_validator_spark.spatial.joins import distance_join
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("stop_id"),
+        F.col("c_nationkey").alias("route_id"),
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return (
+        distance_join(c, c, 250.0)
+        .filter(
+            (F.col("route_id") != F.col("route_id_r"))
+            & (F.col("stop_id") < F.col("stop_id_r"))
+        )
+        .select(
+            F.col("stop_id").alias("stop_a"),
+            F.col("stop_id_r").alias("stop_b"),
+            F.col("route_id").alias("route_a"),
+            F.col("route_id_r").alias("route_b"),
+            F.round(F.col("distance_m") * 1000.0).cast("long").alias("dist_mm"),
+        )
+    )
+
+
+SQL_TRANSFER_CANDIDATES = f"""
+WITH c AS (
+  SELECT c_custkey AS stop_id, c_nationkey AS route_id,
+         {_SQL_CUST_LAT} AS lat, {_SQL_CUST_LON} AS lon
+  FROM customer)
+SELECT a.stop_id AS stop_a, b.stop_id AS stop_b,
+  a.route_id AS route_a, b.route_id AS route_b,
+  CAST(round({_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')} * 1000.0) AS BIGINT) AS dist_mm
+FROM c a JOIN c b
+  ON a.stop_id < b.stop_id AND a.route_id <> b.route_id
+WHERE {_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 250.0
+"""
+
+
 def q_salted_cell_join(spark, sf):
     from osm_pt_validator_spark.functions.geo import cell
     from osm_pt_validator_spark.spatial.joins import salted_equi_join
@@ -2965,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
         "knn_customers_suppliers": wrap(q_knn_customers_suppliers),
         "distance_within_pairs": wrap(q_distance_within_pairs),
+        "transfer_candidates": wrap(q_transfer_candidates),
         "salted_cell_join": wrap(q_salted_cell_join),
         # text / dedup / similarity
         "doc_stats": wrap(q_doc_stats),
@@ -3038,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_vector_bboxes": _sql_tile_vector(),
         "knn_customers_suppliers": SQL_KNN,
         "distance_within_pairs": SQL_DISTANCE_WITHIN,
+        "transfer_candidates": SQL_TRANSFER_CANDIDATES,
         "salted_cell_join": SQL_SALTED_JOIN,
         "doc_stats": _sql_doc_stats(),
         "doc_quality": _sql_doc_quality(),
