@@ -835,6 +835,48 @@ FROM lab GROUP BY 1
 """
 
 
+def q_compact_cover(spark, sf):
+    """Hierarchical cell-cover compaction (spatial/compact.py): a dense
+    lineitem-derived cell set at res 10 compacts to the minimal
+    multi-resolution covering down to res 7 — complete sibling quads
+    collapse into parents, recursively. The oracle replays each round
+    as a CTE level."""
+    from osm_pt_validator_spark.spatial.compact import compact_cells
+
+    li = _t(spark, sf, "lineitem").select(
+        F.shiftleft((F.col("l_orderkey") % 120) + 100, 32)
+        .bitwiseOR((F.col("l_partkey") % 120) + 200)
+        .alias("cell")
+    )
+    return compact_cells(li, res=10, min_res=7).select(
+        "cell", F.col("res").cast("int").alias("res")
+    )
+
+
+def _sql_compact_cover() -> str:
+    base = "(((l_orderkey % 120) + 100) << 32) | ((l_partkey % 120) + 200)"
+    parent = "(((cell >> 33) << 32) | ((cell & 4294967295) >> 1))"
+    parts = [f"l10 AS (SELECT DISTINCT {base} AS cell FROM lineitem)"]
+    selects = []
+    for r in range(10, 7, -1):
+        parts.append(
+            f"p{r} AS (SELECT {parent} AS parent FROM l{r} "
+            f"GROUP BY 1 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f"o{r} AS (SELECT cell, {r} AS res FROM l{r} "
+            f"WHERE {parent} NOT IN (SELECT parent FROM p{r}))"
+        )
+        parts.append(f"l{r - 1} AS (SELECT parent AS cell FROM p{r})")
+        selects.append(f"SELECT cell, res FROM o{r}")
+    selects.append("SELECT cell, 7 AS res FROM l7")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT cell, CAST(res AS INT) AS res FROM ("
+        + " UNION ALL ".join(selects) + ")"
+    )
+
+
 def q_tile_heatmap_customers(spark, sf):
     from osm_pt_validator_spark.spatial.tiles import failure_heatmap
 
@@ -3000,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_events": wrap(q_cell_counts_events),
         "zonal_stats_customers": wrap(q_zonal_stats),
         "hotspot_clusters_events": wrap(q_hotspot_clusters),
+        "compact_cover": wrap(q_compact_cover),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "stop_route_proximity": wrap(q_stop_route_proximity),
@@ -3074,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_events": SQL_CELL_COUNTS,
         "zonal_stats_customers": _sql_zonal_stats(),
         "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
+        "compact_cover": _sql_compact_cover(),
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,

@@ -562,3 +562,47 @@ def test_hotspot_clusters_vs_python_oracle(spark):
         clusters[r] = (ncells + 1, npts + counts[c])
     want = sorted(clusters.values())
     assert got == want and len(want) >= 2
+
+
+def test_compact_uncompact_roundtrip_and_minimality(spark):
+    from osm_pt_validator_spark.spatial.compact import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    res = 6
+    # a full 4x4 block (compacts two levels), a full 2x2 block (one
+    # level), plus two stragglers that must stay at res
+    cells = set()
+    for i in range(8, 12):
+        for j in range(16, 20):
+            cells.add((i << 32) | j)
+    cells |= {(20 << 32) | 30, (20 << 32) | 31, (21 << 32) | 30, (21 << 32) | 31}
+    cells |= {(40 << 32) | 2, (50 << 32) | 63}
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+
+    compacted = compact_cells(df, res=res, min_res=3)
+    got = {(r.cell, r.res) for r in compacted.collect()}
+
+    # the 4x4 block is one res-4 cell (8>>2=2, 16>>2=4), the 2x2 block
+    # one res-5 cell (20>>1=10, 30>>1=15), stragglers stay at res 6
+    assert got == {
+        ((2 << 32) | 4, 4),
+        ((10 << 32) | 15, 5),
+        ((40 << 32) | 2, 6),
+        ((50 << 32) | 63, 6),
+    }
+
+    # uncompact is the exact preimage
+    back = {r.cell for r in uncompact_cells(compacted, res=res).collect()}
+    assert back == cells
+
+    # idempotence: compacting an already-minimal cover changes nothing
+    again = {
+        (r.cell, r.res)
+        for r in compact_cells(
+            compacted.select("cell"), res=res, min_res=3
+        ).collect()
+        if r.res == 6
+    }
+    assert ((40 << 32) | 2, 6) in again
