@@ -6,7 +6,7 @@ parquet dir (row count, column names, order-insensitive multiset of
 stringified values with columns sorted by name); the rest get a
 rows-only smoke count.
 
-    python tests/run_oracle_check.py [sf_dir]      # default sf0.01
+    python tests/run_oracle_check.py [sf_dir] [query ...]  # default sf0.01, all
 
 Exit code 0 iff no comparison fails.
 """
@@ -27,6 +27,7 @@ for p in (_REPO, _HERE):
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     from oracle_harness import compare_query
 
@@ -40,6 +41,8 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
     ok, rows_only, bad = [], [], []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             if name in oracles:
