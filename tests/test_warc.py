@@ -80,3 +80,36 @@ def test_pages_from_warc_text_invariant(spark, tmp_path):
     }
     assert got["http://a.example/"] == "STOP:7@55.95,-3.19 here\nsecond"
     assert got["http://b.example/x"] == "plain page"
+
+
+def test_warc_to_heatmap_end_to_end(spark, tmp_path):
+    """The full north-star path from raw archive bytes: WARC ->
+    canonical pages -> G2 mention extraction -> kNN stop match ->
+    failure-tile heatmap. Every stage is the production operator; only
+    the input is synthetic."""
+    from osm_pt_validator_spark.sources.pages import extract_mentions
+    from osm_pt_validator_spark.spatial.knn import knn_join
+    from osm_pt_validator_spark.spatial.tiles import failure_heatmap
+
+    html = (
+        b"<html><p>STOP:1@55.9500,-3.1900 and STOP:2@55.9510,-3.1890</p>"
+        b"<p>ROUTE:77</p></html>"
+    )
+    rec = _record("response", "http://w.example/", "2026-08-17T04:00:00Z", _http(html))
+    (tmp_path / "w.warc").write_bytes(rec)
+
+    pages = pages_from_warc(spark, str(tmp_path))
+    mentions = extract_mentions(pages).filter("kind = 'stop'")
+    stops = spark.createDataFrame(
+        [(10, 55.9501, -3.1901), (11, 55.9600, -3.2000)],
+        "stop_id long, lat double, lon double",
+    )
+    matched = knn_join(
+        mentions, stops, probe_key=["url", "mention_idx"],
+        build_key="stop_id", k=1, ring=2, res=14,
+    )
+    got = {(r.entity_id, r.stop_id) for r in matched.collect()}
+    assert got == {(1, 10), (2, 10)}  # both mentions nearest stop 10
+
+    tiles = failure_heatmap(matched, z=12).collect()
+    assert len(tiles) == 1 and tiles[0].n == 2
