@@ -1883,6 +1883,60 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_kmeans_centroids(spark, sf):
+    """IVF index training (operators/kmeans.py): 2 Lloyd rounds, k=4,
+    in fixed-point int64 — every add/multiply is integer-exact, so the
+    oracle replays both iterations to bit-identical centroids (floats
+    would diverge on summation order alone). Output: exploded
+    (cid, n, pos, val)."""
+    from osm_pt_validator_spark.operators.kmeans import kmeans_fixed_point
+
+    e = _t(spark, sf, "embeddings")
+    cents, _assign = kmeans_fixed_point(e, k=4, iters=2)
+    return cents.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n").cast("long").alias("n"),
+        F.posexplode("cv").alias("pos", "val"),
+    ).select("cid", "n", F.col("pos").cast("int").alias("pos"), "val")
+
+
+def _sql_kmeans(dim: int = 64, k: int = 4, iters: int = 2) -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    ).format(d=dim)
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"qv AS cv FROM q ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid, qv FROM ("
+            f"SELECT q.vec_id, c.cid, q.qv, "
+            f"row_number() OVER (PARTITION BY q.vec_id "
+            f"ORDER BY {dist}, c.cid) AS rn "
+            f"FROM q CROSS JOIN c{t - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"dim{t} AS (SELECT cid, i, qv[i] AS val FROM a{t} "
+            f"CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i))"
+        )
+        parts.append(
+            f"c{t} AS (SELECT cid, MIN(n) AS n, list(cval ORDER BY i) AS cv FROM ("
+            f"SELECT cid, i, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval, "
+            f"COUNT(*) AS n FROM dim{t} GROUP BY cid, i) GROUP BY cid)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(cid AS INT) AS cid, CAST(n AS BIGINT) AS n, "
+        f"CAST(i - 1 AS INT) AS pos, cv[i] AS val "
+        f"FROM c{iters} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i)"
+    )
+
+
 def q_cosine_pairs(spark, sf):
     """Embedding-cosine near-dup, brute-force baseline (all pairs above
     threshold) — exact counterpart of the LSH-bucketed scale path."""
@@ -3082,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": wrap(q_near_dup_clusters),
         "dedup_clusters_kept": wrap(q_dedup_clusters_kept),
         "embedding_topk": wrap(q_embedding_topk),
+        "kmeans_centroids": wrap(q_kmeans_centroids),
         "cosine_pairs": wrap(q_cosine_pairs),
         "cosine_bucketed_pairs": wrap(q_cosine_bucketed),
         "pipeline_heatmap": wrap(q_pipeline_heatmap),
@@ -3152,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _sql_near_dup_clusters(),
         "dedup_clusters_kept": _sql_dedup_clusters_kept(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "kmeans_centroids": _sql_kmeans(),
         "cosine_pairs": SQL_COSINE_PAIRS,
         "cosine_bucketed_pairs": _sql_cosine_bucketed(),
         "mentions_extract": SQL_MENTIONS,

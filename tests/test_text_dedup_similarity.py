@@ -383,3 +383,78 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     }
     assert got[1] & got[2], (got[1], got[2])   # guarantee: overlap
     assert got[3] == set()
+
+
+def test_kmeans_fixed_point_vs_python_oracle(spark):
+    """Lloyd in fixed point: an independent python replay must land on
+    bit-identical centroids and assignments (engine-exactness is the
+    operator's contract)."""
+    import math
+
+    from osm_pt_validator_spark.operators.kmeans import kmeans_fixed_point
+
+    # 3 tight blobs in 4-d; ids interleaved so init (3 smallest ids)
+    # does NOT start one-per-blob and the iterations must actually move
+    blobs = [(0.0, 0.0, 0.0, 0.0), (1.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 1.0)]
+    rows = []
+    for i in range(30):
+        bx = blobs[i % 3]
+        rows.append((i, [bx[d] + (i % 5) * 1e-4 for d in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, assign = kmeans_fixed_point(df, k=3, iters=3)
+    got_c = {r.cid: (tuple(r.cv), r.n) for r in cents.collect()}
+    got_a = {r.id: r.cid for r in assign.collect()}
+
+    # python replay (same quantization, same argmin tie-break, same
+    # floor-division recompute)
+    import numpy as np
+
+    q = {
+        i: [int(round(float(np.float32(v)) * 1e6)) for v in vec]
+        for i, vec in rows
+    }
+    cent = {c: q[i] for c, i in enumerate(sorted(q)[:3])}
+    for _ in range(3):
+        a = {}
+        for i, v in q.items():
+            best = min(
+                (sum((x - y) ** 2 for x, y in zip(v, cv)), c)
+                for c, cv in cent.items()
+            )
+            a[i] = best[1]
+        new = {}
+        for c in set(a.values()):
+            members = [q[i] for i in q if a[i] == c]
+            new[c] = (
+                [math.floor(sum(col) / len(members)) for col in zip(*members)],
+                len(members),
+            )
+        cent = {c: cv for c, (cv, _n) in new.items()}
+    assert got_a == a
+    assert got_c == {c: (tuple(cv), n) for c, (cv, n) in new.items()}
+    assert len(got_c) == 3
+
+
+def test_kmeans_centroids_feed_ivf_assign(spark):
+    """Trained centroids slot straight into the IVF coarse quantizer:
+    every vector lands in the cluster k-means assigned it to (tight
+    well-separated blobs, so cosine and euclidean argmin agree)."""
+    from osm_pt_validator_spark.operators.kmeans import (
+        centroids_for_ivf,
+        kmeans_fixed_point,
+    )
+    from osm_pt_validator_spark.operators.similarity import ivf_assign
+
+    blobs = [(5.0, 0.1, 0.1, 0.1), (0.1, 5.0, 0.1, 0.1), (0.1, 0.1, 5.0, 0.1)]
+    rows = [
+        (i, [blobs[i % 3][d] + (i % 7) * 1e-3 for d in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assign = kmeans_fixed_point(df, k=3, iters=3)
+
+    ivf = ivf_assign(df, centroids_for_ivf(cents))
+    got = {r.vec_id: r.centroid_id for r in ivf.collect()}
+    want = {r.id: r.cid for r in assign.collect()}
+    assert got == want and len(set(got.values())) == 3
