@@ -835,6 +835,37 @@ FROM lab GROUP BY 1
 """
 
 
+def q_event_props_stats(spark, sf):
+    """Semi-structured extraction: the events `props` column is a JSON
+    string; parse it JVM-side (from_json with an explicit schema — no
+    schema inference pass, no Python) and aggregate the extracted field
+    per event type. The operator class every telemetry/crawl-metadata
+    pipeline needs at the scan edge."""
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+SQL_EVENT_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY 1
+"""
+
+
 def q_compact_cover(spark, sf):
     """Hierarchical cell-cover compaction (spatial/compact.py): a dense
     lineitem-derived cell set at res 10 compacts to the minimal
@@ -3084,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": wrap(q_part_brand_stats),
         "customer_order_ranks": wrap(q_customer_order_ranks),
         "events_hourly": wrap(q_events_hourly),
+        "event_props_stats": wrap(q_event_props_stats),
         # validator family (SURVEY §2.2-2.4, §2.7)
         "v_tags": wrap(q_v_tags),
         "v_member_order": wrap(q_v_member_order),
@@ -3162,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": SQL_PART_BRAND,
         "customer_order_ranks": SQL_ORDER_RANKS,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "event_props_stats": SQL_EVENT_PROPS,
         "v_tags": SQL_V_TAGS,
         "v_member_order": SQL_V_MEMBER_ORDER,
         "v_node_count": SQL_V_NODE_COUNT,
