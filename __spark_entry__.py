@@ -835,6 +835,70 @@ FROM lab GROUP BY 1
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_daily_pivot(spark, sf):
+    """Wide reshape (pivot): one row per day, one count column per
+    event type. The explicit value list keeps the plan a single
+    aggregation pass — pivot without it costs an extra distinct-values
+    job, which at 100 TB is a full extra scan."""
+    e = _t(spark, sf, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
+    out = e.groupBy(day).pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return out.select(
+        "day_epoch", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+def q_orders_rollup(spark, sf):
+    """Grouping sets (rollup): order totals at (year, priority),
+    (year), and grand-total levels in ONE aggregation pass — the
+    subtotal lattice Spark and any warehouse compute with partial
+    aggregation, not three scans. grouping_id disambiguates NULL-as-
+    subtotal from NULL-as-value."""
+    o = _t(spark, sf, "orders")
+    rolled = o.rollup(
+        F.year("o_orderdate").alias("order_year"), F.col("o_orderpriority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+        F.grouping_id().alias("gid"),
+    )
+    # Subtotal rows carry NULL keys; coalesce to sentinels (gid already
+    # disambiguates) so the nullable-int column survives the pandas
+    # int->float promotion in the compare harness.
+    return rolled.select(
+        F.coalesce("order_year", F.lit(-1)).alias("order_year"),
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+        "n_orders",
+        "total_c",
+        "gid",
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(order_year, -1) AS order_year,
+  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(price_c) AS BIGINT) AS total_c,
+  CAST(GROUPING(order_year) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders)
+GROUP BY ROLLUP (order_year, o_orderpriority)
+"""
+
+
 def q_event_props_stats(spark, sf):
     """Semi-structured extraction: the events `props` column is a JSON
     string; parse it JVM-side (from_json with an explicit schema — no
@@ -3116,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_ranks": wrap(q_customer_order_ranks),
         "events_hourly": wrap(q_events_hourly),
         "event_props_stats": wrap(q_event_props_stats),
+        "events_daily_pivot": wrap(q_events_daily_pivot),
+        "orders_rollup": wrap(q_orders_rollup),
         # validator family (SURVEY §2.2-2.4, §2.7)
         "v_tags": wrap(q_v_tags),
         "v_member_order": wrap(q_v_member_order),
@@ -3195,6 +3261,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": SQL_ORDER_RANKS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "event_props_stats": SQL_EVENT_PROPS,
+        "events_daily_pivot": SQL_EVENTS_PIVOT,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
         "v_tags": SQL_V_TAGS,
         "v_member_order": SQL_V_MEMBER_ORDER,
         "v_node_count": SQL_V_NODE_COUNT,
