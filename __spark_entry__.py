@@ -3022,6 +3022,106 @@ FROM hl, UNNEST(CASE WHEN len(hs) >= 4
 """
 
 
+# --- mergeable sketches (operators/sketches.py) -----------------------------
+
+
+def q_kmv_distinct(spark, sf):
+    """KMV distinct-count sketch (sketches.kmv_distinct): estimated
+    distinct users per event type from the 64 minimum md5-derived
+    hashes. WindowGroupLimit bounds the shuffle to ~k rows per (group,
+    map partition) — the mergeable-sketch shape at 100 TB."""
+    from osm_pt_validator_spark.operators.sketches import kmv_distinct
+
+    e = _t(spark, sf, "events")
+    return kmv_distinct(
+        e, ["event_type"], F.col("user_id").cast("string"), k=64
+    )
+
+
+def _sql_kmv_distinct() -> str:
+    from osm_pt_validator_spark.operators.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql(
+        "events", "event_type", "CAST(user_id AS VARCHAR)", k=64
+    )
+
+
+def q_bloom_prune(spark, sf):
+    """Bloom-semi-join pruning (sketches.bloom_digest/bloom_prune):
+    2x63-bit per-group Bloom digests built from even-id events via
+    map-side bit_or partial aggregation, broadcast, and used to prune
+    odd-id probe rows to the possibly-seen set BEFORE any shuffle join.
+    Output: per event type, probe rows and Bloom-pass rows."""
+    from osm_pt_validator_spark.operators.sketches import (
+        bloom_digest,
+        bloom_prune,
+    )
+
+    e = _t(spark, sf, "events")
+    build = e.filter(F.col("event_id") % 2 == 0)
+    probe = e.filter(F.col("event_id") % 2 == 1)
+    val = F.col("user_id").cast("string")
+    digest = bloom_digest(build, ["event_type"], val, words=2, hashes=2)
+    passed = bloom_prune(probe, digest, ["event_type"], val, words=2, hashes=2)
+    n_probe = probe.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_probe"))
+    n_pass = passed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pass"))
+    return n_probe.join(n_pass, "event_type", "left").select(
+        "event_type", "n_probe", F.coalesce("n_pass", F.lit(0)).alias("n_pass")
+    )
+
+
+def _sql_bloom_prune() -> str:
+    from osm_pt_validator_spark.operators.sketches import bloom_sql_fragments
+
+    word_exprs, membership = bloom_sql_fragments(
+        "CAST(user_id AS VARCHAR)", words=2, hashes=2
+    )
+    return f"""
+WITH build AS (SELECT * FROM events WHERE event_id % 2 = 0),
+probe AS (SELECT * FROM events WHERE event_id % 2 = 1),
+digest AS (
+  SELECT event_type,
+         bit_or({word_exprs[0]}) AS w0,
+         bit_or({word_exprs[1]}) AS w1
+  FROM build GROUP BY 1),
+passed AS (
+  SELECT p.event_type
+  FROM probe p JOIN digest d USING (event_type)
+  WHERE {membership.replace('user_id', 'p.user_id')}),
+np AS (SELECT event_type, COUNT(*) AS n_probe FROM probe GROUP BY 1),
+ns AS (SELECT event_type, COUNT(*) AS n_pass FROM passed GROUP BY 1)
+SELECT event_type, n_probe, COALESCE(n_pass, 0) AS n_pass
+FROM np LEFT JOIN ns USING (event_type)
+"""
+
+
+def q_inverted_index(spark, sf):
+    """Inverted index (sketches.inverted_index): token -> exact df +
+    postings capped at the 10 smallest doc ids (comma-joined), min_df
+    5. One shuffle: window and aggregation share the token
+    partitioning."""
+    from osm_pt_validator_spark.operators.sketches import inverted_index
+
+    d = _t(spark, sf, "documents")
+    return inverted_index(d, max_postings=10, min_df=5)
+
+
+def _sql_inverted_index() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM (SELECT doc_id, {toks} AS toks FROM documents), UNNEST(toks) AS t(token)),
+r AS (SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM tok)
+SELECT token, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         FILTER (WHERE rn <= 10) AS postings
+FROM r GROUP BY 1 HAVING COUNT(*) >= 5
+"""
+
+
 # --- PII scrub (operators/text.py) ------------------------------------------
 
 
@@ -3225,6 +3325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": wrap(q_pii_scrub),
         "para_dedup": wrap(q_para_dedup),
         "winnow_fps": wrap(q_winnow_fps),
+        # mergeable sketches (operators/sketches.py)
+        "kmv_distinct_users": wrap(q_kmv_distinct),
+        "bloom_prune_events": wrap(q_bloom_prune),
+        "inverted_index": wrap(q_inverted_index),
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
@@ -3300,6 +3404,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "para_dedup": _sql_para_dedup(),
         "winnow_fps": _sql_winnow_fps(),
+        "kmv_distinct_users": _sql_kmv_distinct(),
+        "bloom_prune_events": _sql_bloom_prune(),
+        "inverted_index": _sql_inverted_index(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),

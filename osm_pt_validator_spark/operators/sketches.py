@@ -1,0 +1,247 @@
+"""Mergeable sketch operators for 100 TB-scale corpus profiling.
+
+Three sketches, all hashed with ``functions.hashing.md5_i64`` so a SQL
+oracle replays them bit-for-bit (same contract as minhash/simhash):
+
+* **KMV (k-minimum-values) distinct count** — per group, the k smallest
+  distinct 60-bit hashes of the value; estimate = (k-1) / (normalized
+  kth hash). The per-group bound runs as a ``dense_rank() <= k`` window
+  whose WindowGroupLimit prunes to ~k rows per map partition BEFORE the
+  shuffle — the classic mergeable-sketch shape without a UDAF, so the
+  shuffle carries O(k) rows per (group, partition) no matter how many
+  input rows a group has.
+* **Bloom digest + prune** — a fixed-width (``words`` x 63-bit) Bloom
+  filter per group built with ``bit_or`` aggregation (map-side partial,
+  digest is ``words`` BIGINTs per group); a probe table is then pruned
+  by a BROADCAST membership test before any expensive shuffle join —
+  the bloom-semi-join pattern Spark applies internally for runtime
+  filters, here materialized as reusable data.
+* **Inverted index** — token -> exact document frequency + a capped,
+  sorted posting list. ONE shuffle on token (the window and the final
+  aggregation share the partitioning, so Catalyst reuses the exchange);
+  hot tokens (stopwords) cannot blow a reducer because postings are
+  rank-capped while df stays an exact count.
+
+Only bit 0..62 of each Bloom word is used: bit 63 is the sign bit, and
+keeping it clear makes the two's-complement BIGINT digest trivially
+identical between Spark and any replaying engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_pt_validator_spark.functions.hashing import md5_i64
+
+#: md5_i64 yields 60-bit hashes => values are uniform on [0, 2**60).
+KMV_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value: Column, k: int = 64
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via k minimum values.
+
+    Output: group_cols + (k_actual, kth_hash, est_distinct). When a
+    group has fewer than k distinct hashes the estimate is exact
+    (= k_actual). The estimate is floored to BIGINT; the division is a
+    single IEEE-double op on integer-valued operands, so it reproduces
+    bit-for-bit in any IEEE engine.
+    """
+    hashed = df.select(*group_cols, md5_i64(value).alias("__h"))
+    # dense_rank (not row_number): duplicate values hash equal, and
+    # dense_rank keeps "k smallest DISTINCT hashes" in one pass with no
+    # pre-dedup shuffle. InferWindowGroupLimit pushes the <=k bound
+    # below the exchange for rank-like functions.
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
+    topk = hashed.withColumn("__rk", F.dense_rank().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    agg = topk.groupBy(*group_cols).agg(
+        F.countDistinct("__h").alias("k_actual"),
+        F.max("__h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("k_actual") < k, F.col("k_actual").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "k_actual",
+        "kth_hash",
+        F.floor(est).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(
+    table: str, group_expr: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB replay of :func:`kmv_distinct` (oracle helper)."""
+    return f"""
+WITH h AS (SELECT {group_expr} AS g,
+                  ('0x' || substr(md5({value_expr}), 1, 15))::BIGINT AS hv
+           FROM {table}),
+r AS (SELECT g, hv, dense_rank() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h),
+a AS (SELECT g, COUNT(DISTINCT hv) AS k_actual, MAX(hv) AS kth_hash
+      FROM r WHERE rk <= {k} GROUP BY 1)
+SELECT g AS {group_expr}, k_actual, kth_hash,
+       CAST(floor(CASE WHEN k_actual < {k} THEN CAST(k_actual AS DOUBLE)
+                       ELSE {float(k - 1)!r} * {KMV_SPACE!r} / CAST(kth_hash AS DOUBLE)
+                  END) AS BIGINT) AS est_distinct
+FROM a
+"""
+
+
+def _bloom_positions(value: Column, hashes: int, words: int):
+    """(word_idx, bit) pairs for each of the `hashes` hash functions.
+
+    Bit range is 0..62 — see module docstring on the sign bit. `words`
+    must be a power of two: word selection is a mask and the bit
+    derivation a shift, because Column `/` is FLOAT division and a
+    double cannot hold a 60-bit integer exactly.
+    """
+    if words & (words - 1):
+        raise ValueError("words must be a power of two")
+    shift = words.bit_length() - 1
+    out = []
+    for i in range(hashes):
+        h = md5_i64(value, salt=f"bf{i}|")
+        bit = F.shiftright(h, shift) % 63
+        # pyspark's shiftleft() only takes a literal shift; 2**bit via
+        # pow() is exact for bit <= 62 (powers of two are exact doubles)
+        mask = F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+        out.append((h.bitwiseAND(F.lit(words - 1)), mask))
+    return out
+
+
+def bloom_digest(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    words: int = 2,
+    hashes: int = 2,
+) -> DataFrame:
+    """Per-group Bloom digest: `words` BIGINT columns w0..w{words-1}.
+
+    bit_or partially aggregates map-side, so the shuffle carries one
+    `words`-wide row per (group, partition) — a digest over any number
+    of input rows costs a broadcast-sized result.
+    """
+    pos = _bloom_positions(value, hashes, words)
+    row_words = []
+    for j in range(words):
+        contribs = [
+            F.when(widx == j, mask).otherwise(F.lit(0).cast("long"))
+            for widx, mask in pos
+        ]
+        row_words.append(
+            reduce(lambda a, b: a.bitwiseOR(b), contribs).alias(f"__w{j}")
+        )
+    per_row = df.select(*group_cols, *row_words)
+    return per_row.groupBy(*group_cols).agg(
+        *[F.bit_or(F.col(f"__w{j}")).alias(f"w{j}") for j in range(words)]
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    digest: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    words: int = 2,
+    hashes: int = 2,
+) -> DataFrame:
+    """Keep probe rows whose value is POSSIBLY in the group's digest.
+
+    The digest side is explicitly broadcast (it is one row per group by
+    construction); rows from groups absent in the digest are dropped
+    (inner join), rows failing any bit test are dropped — only
+    possibly-present rows survive to whatever expensive join follows.
+    False positives pass (Bloom contract); false negatives never.
+    """
+    pos = _bloom_positions(value, hashes, words)
+    joined = probe.join(F.broadcast(digest), group_cols, "inner")
+    checks = []
+    for widx, mask in pos:
+        word = F.lit(None).cast("long")
+        for j in range(words):
+            word = F.when(widx == j, F.col(f"w{j}")).otherwise(word)
+        checks.append(word.bitwiseAND(mask) == mask)
+    return joined.filter(reduce(lambda a, b: a & b, checks)).drop(
+        *[f"w{j}" for j in range(words)]
+    )
+
+
+def bloom_sql_fragments(value_expr: str, words: int = 2, hashes: int = 2):
+    """DuckDB replay pieces: per-row word exprs (digest build) and the
+    membership predicate (prune), for oracle queries."""
+    pos = [
+        (
+            f"(('0x' || substr(md5('bf{i}|' || {value_expr}), 1, 15))::BIGINT % {words})",
+            f"((('0x' || substr(md5('bf{i}|' || {value_expr}), 1, 15))::BIGINT // {words}) % 63)",
+        )
+        for i in range(hashes)
+    ]
+    word_exprs = []
+    for j in range(words):
+        parts = [
+            f"(CASE WHEN {widx} = {j} THEN (1::BIGINT << CAST({bit} AS INT)) ELSE 0::BIGINT END)"
+            for widx, bit in pos
+        ]
+        word_exprs.append(" | ".join(parts))
+    membership_terms = []
+    for widx, bit in pos:
+        word_sel = (
+            "CASE "
+            + " ".join(f"WHEN {widx} = {j} THEN w{j}" for j in range(words))
+            + " END"
+        )
+        membership_terms.append(
+            f"((({word_sel}) >> CAST({bit} AS INT)) & 1) = 1"
+        )
+    return word_exprs, " AND ".join(membership_terms)
+
+
+def inverted_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """token -> (df exact, postings: first `max_postings` doc ids asc,
+    comma-joined). One shuffle on token; postings capped per token so
+    stopword-grade tokens stay O(max_postings) wide."""
+    from osm_pt_validator_spark.operators.text import tokens
+
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    ranked = tok.withColumn("__rn", F.row_number().over(w))
+    # collect_list skips NULLs, so the when() caps postings while the
+    # count stays exact df; window and groupBy share the token
+    # partitioning => Catalyst reuses the exchange (single shuffle).
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__rn") <= max_postings, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -1,0 +1,139 @@
+"""Sketch operators: KMV distinct, Bloom digest/prune, inverted index.
+
+Correctness properties (not just row counts): KMV is exact below k and
+within sketch tolerance above it; Bloom never yields a false negative;
+the inverted index carries exact df with capped, sorted postings. Plus
+the scale property that makes KMV viable at 100 TB: the dense_rank<=k
+bound is pushed below the shuffle as a WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    from osm_pt_validator_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 30).cast("string").alias("v"),  # 10 distinct per g
+    )
+    out = kmv_distinct(df, ["g"], F.col("v"), k=64).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.k_actual == 10
+        assert r.est_distinct == 10  # below k => exact
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    from osm_pt_validator_spark.operators.sketches import kmv_distinct
+
+    n_distinct = 2000
+    df = spark.range(n_distinct * 2).select(
+        F.lit("g").alias("g"), (F.col("id") % n_distinct).cast("string").alias("v")
+    )
+    r = kmv_distinct(df, ["g"], F.col("v"), k=64).collect()[0]
+    assert r.k_actual == 64
+    # KMV relative error ~ 1/sqrt(k-1) = 12.6%; allow 4 sigma
+    assert abs(r.est_distinct - n_distinct) / n_distinct < 0.5
+
+
+def test_kmv_window_limit_pushed_below_shuffle(spark):
+    from osm_pt_validator_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    plan = _explain(kmv_distinct(df, ["g"], F.col("v"), k=8))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from osm_pt_validator_spark.operators.sketches import (
+        bloom_digest,
+        bloom_prune,
+    )
+
+    build = spark.range(200).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    digest = bloom_digest(build, ["g"], F.col("v"), words=2, hashes=2)
+    # every build value must pass its own group's digest (no false negatives)
+    self_pass = bloom_prune(build, digest, ["g"], F.col("v"), words=2, hashes=2)
+    assert self_pass.count() == 200
+    # values far outside the build set should mostly be pruned; with
+    # 100 values per group in 126 bits the filter is saturated-ish, so
+    # only assert it prunes SOMETHING and passes a subset
+    probe = spark.range(10_000, 12_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    n_pass = bloom_prune(probe, digest, ["g"], F.col("v"), words=2, hashes=2).count()
+    assert n_pass < 2000
+
+
+def test_bloom_empty_group_drops_probe_rows(spark):
+    from osm_pt_validator_spark.operators.sketches import (
+        bloom_digest,
+        bloom_prune,
+    )
+
+    build = spark.range(10).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    probe = spark.range(10).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    digest = bloom_digest(build, ["g"], F.col("v"))
+    assert bloom_prune(probe, digest, ["g"], F.col("v")).count() == 0
+
+
+def test_bloom_digest_is_broadcast_in_prune(spark):
+    from osm_pt_validator_spark.operators.sketches import (
+        bloom_digest,
+        bloom_prune,
+    )
+
+    build = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    digest = bloom_digest(build, ["g"], F.col("v"))
+    plan = _explain(bloom_prune(build, digest, ["g"], F.col("v")))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_inverted_index_df_exact_postings_capped(spark):
+    from osm_pt_validator_spark.operators.sketches import inverted_index
+
+    rows = [(i, "alpha beta" if i < 15 else "alpha") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.token: r for r in inverted_index(docs, max_postings=5, min_df=1).collect()
+    }
+    assert out["alpha"].df == 20  # df exact even though postings capped
+    assert out["alpha"].postings == "0,1,2,3,4"  # capped, sorted asc
+    assert out["beta"].df == 15
+    assert out["beta"].postings == "0,1,2,3,4"
+
+
+def test_inverted_index_single_shuffle(spark):
+    from osm_pt_validator_spark.operators.sketches import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    import re
+
+    plan = _explain(inverted_index(docs))
+    # window + groupBy share the token partitioning: exactly one Exchange
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
