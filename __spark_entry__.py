@@ -3095,6 +3095,56 @@ FROM np LEFT JOIN ns USING (event_type)
 """
 
 
+def q_value_quantiles(spark, sf):
+    """Log-binned quantile sketch (sketches.log_binned_quantiles):
+    p50/p90/p99 of the event value (in cents) per event type from a
+    deterministic (octave, 8-sub-bucket) histogram — ONE map-side-
+    combining groupBy, bit-replayable, unlike percentile_approx whose
+    GK sketch is merge-order-dependent."""
+    from osm_pt_validator_spark.operators.sketches import log_binned_quantiles
+
+    e = _t(spark, sf, "events")
+    return log_binned_quantiles(
+        e, ["event_type"], _cents(F.col("value")), quantiles=(0.5, 0.9, 0.99)
+    )
+
+
+def _sql_value_quantiles() -> str:
+    from osm_pt_validator_spark.operators.sketches import (
+        log_binned_quantiles_sql,
+    )
+
+    return log_binned_quantiles_sql(
+        "events",
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT)",
+        quantiles=(0.5, 0.9, 0.99),
+    )
+
+
+def q_key_skew_profile(spark, sf):
+    """Join-key skew profiler (sketches.skew_profile): the 10 hottest
+    l_suppkey values with exact ppm share — the pre-flight measurement
+    for choosing a salt factor. TakeOrderedAndProject top-N (parallel
+    partial top-k), never a single-partition window over all keys."""
+    from osm_pt_validator_spark.operators.sketches import skew_profile
+
+    l = _t(spark, sf, "lineitem")
+    return skew_profile(l, ["l_suppkey"], top=10)
+
+
+def _sql_key_skew_profile() -> str:
+    return """
+WITH counts AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts),
+hot AS (SELECT l_suppkey, n,
+               row_number() OVER (ORDER BY n DESC, l_suppkey ASC) AS rank
+        FROM counts ORDER BY n DESC, l_suppkey ASC LIMIT 10)
+SELECT l_suppkey, n, rank, CAST((n * 1000000) // total AS BIGINT) AS share_ppm, n_keys
+FROM hot, tot
+"""
+
+
 def q_inverted_index(spark, sf):
     """Inverted index (sketches.inverted_index): token -> exact df +
     postings capped at the 10 smallest doc ids (comma-joined), min_df
@@ -3329,6 +3379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": wrap(q_kmv_distinct),
         "bloom_prune_events": wrap(q_bloom_prune),
         "inverted_index": wrap(q_inverted_index),
+        "value_quantiles": wrap(q_value_quantiles),
+        "key_skew_profile": wrap(q_key_skew_profile),
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
@@ -3407,6 +3459,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": _sql_kmv_distinct(),
         "bloom_prune_events": _sql_bloom_prune(),
         "inverted_index": _sql_inverted_index(),
+        "value_quantiles": _sql_value_quantiles(),
+        "key_skew_profile": _sql_key_skew_profile(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),

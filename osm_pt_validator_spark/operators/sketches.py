@@ -206,6 +206,126 @@ def bloom_sql_fragments(value_expr: str, words: int = 2, hashes: int = 2):
     return word_exprs, " AND ".join(membership_terms)
 
 
+def log_binned_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Deterministic approximate quantiles via a log-binned histogram.
+
+    `value` must be a positive integer column (quantize floats to
+    cents/millis first). Bins are (octave, 2**sub_bits sub-buckets) =>
+    relative bin width <= 2**-sub_bits (12.5% at 3), and every bin edge
+    is derived with INTEGER-EXACT ops — floor(log2) comes from the
+    binary-digit count (`length(bin(n)) - 1`), the sub-bucket from
+    division by an exact power of two — so the result replays
+    bit-for-bit in SQL, unlike percentile_approx whose GK sketch is
+    merge-order-dependent.
+
+    Scale shape: ONE map-side-combining groupBy to the histogram
+    (cardinality <= 64 octaves x 2**sub_bits per group), then windows
+    over that tiny table. The reported quantile is the LOWER BOUND of
+    the first bin whose cumulative count reaches ceil(q * total).
+    """
+    n = value.cast("long")
+    exp = (F.length(F.bin(n)) - 1).cast("int")
+    shift = F.greatest(exp - F.lit(sub_bits), F.lit(0))
+    # n < 2**53, scale a power of two => the division is exact in a double
+    scale = F.pow(F.lit(2.0), shift.cast("double"))
+    low = (F.floor(n.cast("double") / scale).cast("long")
+           * scale.cast("long")).alias("__low")
+    hist = df.select(*group_cols, low).groupBy(*group_cols, "__low").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__low").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    h = hist.select(
+        *group_cols,
+        "__low",
+        F.sum("__n").over(wcum).alias("__cum"),
+        F.sum("__n").over(wtot).alias("__tot"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(q) * F.col("__tot")),
+                F.col("__low"),
+            )
+        ).alias(f"p{str(q)[2:]}")
+        for q in quantiles
+    ]
+    return h.groupBy(*group_cols).agg(*aggs)
+
+
+def log_binned_quantiles_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 3,
+) -> str:
+    """DuckDB replay of :func:`log_binned_quantiles` (oracle helper)."""
+    q_cols = ",\n       ".join(
+        f"MIN(CASE WHEN cum >= ceil({q!r} * tot) THEN low END) AS p{str(q)[2:]}"
+        for q in quantiles
+    )
+    return f"""
+WITH v AS (SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS n FROM {table}),
+b AS (SELECT g,
+             (n // CAST(power(2.0, greatest(length(bin(n)) - 1 - {sub_bits}, 0)) AS BIGINT))
+             * CAST(power(2.0, greatest(length(bin(n)) - 1 - {sub_bits}, 0)) AS BIGINT) AS low
+      FROM v),
+hist AS (SELECT g, low, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (SELECT g, low,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY low
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS tot
+      FROM hist)
+SELECT g AS {group_expr},
+       {q_cols}
+FROM c GROUP BY 1
+"""
+
+
+def skew_profile(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
+    """Top-`top` hottest keys with their row share — the measurement you
+    take BEFORE choosing a salt factor for a skewed join.
+
+    Scale shape: map-side-combining groupBy to per-key counts, then
+    TakeOrderedAndProject (orderBy+limit — fully parallel partial
+    top-N, never a single-partition window) for the hot set, and a
+    single-row global aggregate joined back by broadcast. share_ppm is
+    integer arithmetic (exact, replayable).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.orderBy(
+        F.col("n").desc(), *[F.col(k).asc() for k in key_cols]
+    ).limit(top)
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    # global window is fine HERE: it runs over <= `top` rows post-limit
+    w = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in key_cols])
+    return (
+        hot.join(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n",
+            F.row_number().over(w).alias("rank"),
+            # `div` = exact integer division (double `/` loses ulps
+            # once n * 1e6 passes 2**53)
+            F.expr("n * 1000000 div __total").alias("share_ppm"),
+            "n_keys",
+        )
+    )
+
+
 def inverted_index(
     documents: DataFrame,
     id_col: str = "doc_id",

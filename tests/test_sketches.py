@@ -111,6 +111,52 @@ def test_bloom_digest_is_broadcast_in_prune(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_log_binned_quantiles_bounds(spark):
+    from osm_pt_validator_spark.operators.sketches import log_binned_quantiles
+
+    # uniform 1..1000: p50 bin must contain ~500 within 12.5% rel width
+    df = spark.range(1, 1001).select(
+        F.lit("g").alias("g"), (F.col("id")).alias("v")
+    )
+    r = log_binned_quantiles(df, ["g"], F.col("v")).collect()[0]
+    # estimate is the LOWER bound of the covering bin
+    assert r.p5 <= 500 < r.p5 * 1.125 + 1, r
+    assert r.p9 <= 900 < r.p9 * 1.125 + 1, r
+    assert r.p99 <= 990 < r.p99 * 1.125 + 1, r
+
+
+def test_log_binned_quantiles_exact_small_values(spark):
+    from osm_pt_validator_spark.operators.sketches import log_binned_quantiles
+
+    # values < 2**sub_bits fall in width-1 bins => quantiles are exact
+    rows = [("g", v) for v in [1, 1, 2, 3, 3, 3, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = log_binned_quantiles(df, ["g"], F.col("v"), quantiles=(0.5,)).collect()[0]
+    assert r.p5 == 3
+
+
+def test_skew_profile_hot_key_first(spark):
+    from osm_pt_validator_spark.operators.sketches import skew_profile
+
+    # key 0 carries half the rows
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 500, F.lit(0)).otherwise(F.col("id") % 50).alias("k")
+    )
+    rows = skew_profile(df, ["k"], top=3).orderBy("rank").collect()
+    assert rows[0].k == 0 and rows[0].rank == 1
+    assert rows[0].n == 500 + 10  # ids 500..999 with id%50==0 add 10
+    assert rows[0].share_ppm == (510 * 1_000_000) // 1000
+    assert rows[0].n_keys == 50
+
+
+def test_skew_profile_uses_take_ordered(spark):
+    from osm_pt_validator_spark.operators.sketches import skew_profile
+
+    df = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    plan = _explain(skew_profile(df, ["k"], top=5))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_inverted_index_df_exact_postings_capped(spark):
     from osm_pt_validator_spark.operators.sketches import inverted_index
 
