@@ -3,11 +3,12 @@
 `entry(spark)` runs the flagship pipeline (pages -> extraction ->
 spatial join -> heatmap) on sf0.001. `queries()` exposes one callable
 per implemented operator (SURVEY.md §2 + graft G-operators);
-`oracle_sql()` gives the DuckDB-replayable ANSI SQL for every
-SQL-expressible one (identical column names & quantised numeric types
-so value hashes match bit-for-bit). Non-SQL-expressible operators
-(frontier automaton, PIP ray cast, SimHash/LSH UDF paths, media decode)
-are registered without oracles -> rows-only checks.
+`oracle_sql()` gives the DuckDB-replayable ANSI SQL for EVERY entry
+(identical column names & quantised numeric types so value hashes match
+bit-for-bit). Even the non-SQL-expressible operators are oracle'd: the
+frontier automaton family against golden VALUES transcribed from the
+reference's Go test expectations, the hash/sketch paths (SimHash, LSH,
+IVF, KMV, Bloom) by replaying the same md5-derived arithmetic in SQL.
 """
 
 from __future__ import annotations
@@ -3145,6 +3146,31 @@ FROM hot, tot
 """
 
 
+_PR_EDGES_SQL = """SELECT o_custkey % 500 AS src, (o_orderkey * 7) % 500 AS dst
+FROM orders WHERE o_custkey % 500 != (o_orderkey * 7) % 500"""
+
+
+def q_page_rank(spark, sf):
+    """Fixed-iteration integer-scaled PageRank (pagerank.page_rank):
+    3 rounds over a 500-node link graph derived from orders. Integer
+    rank mass => order-independent sums => bit-replayable, unlike float
+    PageRank whose shuffle-order addition does not commute."""
+    from osm_pt_validator_spark.operators.pagerank import page_rank
+
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        ((F.col("o_orderkey") * 7) % 500).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return page_rank(edges, iterations=3)
+
+
+def _sql_page_rank() -> str:
+    from osm_pt_validator_spark.operators.pagerank import page_rank_sql
+
+    return page_rank_sql(_PR_EDGES_SQL, iterations=3)
+
+
 def q_inverted_index(spark, sf):
     """Inverted index (sketches.inverted_index): token -> exact df +
     postings capped at the 10 smallest doc ids (comma-joined), min_df
@@ -3381,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": wrap(q_inverted_index),
         "value_quantiles": wrap(q_value_quantiles),
         "key_skew_profile": wrap(q_key_skew_profile),
+        "page_rank_orders": wrap(q_page_rank),
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
@@ -3461,6 +3488,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _sql_inverted_index(),
         "value_quantiles": _sql_value_quantiles(),
         "key_skew_profile": _sql_key_skew_profile(),
+        "page_rank_orders": _sql_page_rank(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "minhash_sigs": _sql_minhash(),

@@ -1,0 +1,76 @@
+"""PageRank: exact parity with a pure-python integer replay of the same
+recurrence (the operator's determinism claim), plus structural cases."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def _python_pagerank(edges, iterations=3, damping_pct=85):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    base = (100 - damping_pct) * SCALE // 100
+    rank = {n: SCALE for n in nodes}
+    for _ in range(iterations):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {n: base + damping_pct * s[n] // 100 for n in nodes}
+    return rank
+
+
+def _run(spark, edges, **kw):
+    from osm_pt_validator_spark.operators.pagerank import page_rank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank for r in page_rank(df, **kw).collect()}
+
+
+def test_pagerank_matches_integer_replay(spark):
+    # two hubs, a chain, a cycle, duplicate edges (deduped), fan-in
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1),
+        (6, 7), (7, 8), (8, 6), (1, 2),
+    ]
+    got = _run(spark, edges, iterations=3)
+    want = _python_pagerank(edges, iterations=3)
+    assert got == want
+
+
+def test_pagerank_dangling_node_keeps_teleport_only(spark):
+    # 2 has no out-edges: after round 1 its in-flow still arrives, but
+    # it emits nothing (leaky variant, documented)
+    edges = [(1, 2)]
+    got = _run(spark, edges, iterations=2)
+    want = _python_pagerank(edges, iterations=2)
+    assert got == want
+    assert got[1] == (100 - 85) * SCALE // 100  # no in-edges: teleport only
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    got = _run(spark, edges, iterations=4)
+    assert len(set(got.values())) == 1  # symmetry preserved exactly
+    assert got[1] == SCALE  # cycle with outdeg 1 conserves mass exactly
+
+
+def test_pagerank_oracle_sql_matches_spark(spark):
+    import duckdb
+
+    from osm_pt_validator_spark.operators.pagerank import page_rank_sql
+
+    edges = [(i % 7, (i * 3) % 7) for i in range(30) if i % 7 != (i * 3) % 7]
+    got = _run(spark, edges, iterations=3)
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = page_rank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3
+    )
+    want = {int(n): int(r) for n, r in duckdb.sql(sql).fetchall()}
+    assert got == want
