@@ -61,6 +61,37 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
     assert got[1] == SCALE  # cycle with outdeg 1 conserves mass exactly
 
 
+def test_pagerank_over_comention_graph_end_to_end(spark):
+    """Webtext composition: pages -> G2 mention extraction -> co-mention
+    edges (routes named on the same page) -> PageRank. Route 1 is
+    co-mentioned on every page, so it must out-rank every spoke, and
+    the whole run must equal the integer replay."""
+    from osm_pt_validator_spark.operators.pagerank import page_rank
+    from osm_pt_validator_spark.sources.pages import extract_mentions
+
+    rows = [
+        (f"https://x.example/p{i}", f"see ROUTE:1 and also ROUTE:{i + 2} today")
+        for i in range(6)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    m = extract_mentions(pages).filter(F.col("kind") == "route").select(
+        "url", F.col("entity_id").alias("route")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    edges_df = (
+        a.join(b, "url")
+        .filter(F.col("a.route") != F.col("b.route"))
+        .select(F.col("a.route").alias("src"), F.col("b.route").alias("dst"))
+    )
+    got = {r.node: r.rank for r in page_rank(edges_df, iterations=3).collect()}
+    want_edges = []
+    for i in range(6):
+        want_edges += [(1, i + 2), (i + 2, 1)]
+    want = _python_pagerank(want_edges, iterations=3)
+    assert got == want
+    assert got[1] == max(got.values())
+
+
 def test_pagerank_oracle_sql_matches_spark(spark):
     import duckdb
 
