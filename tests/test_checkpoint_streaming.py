@@ -103,6 +103,63 @@ def test_streaming_tile_heatmap(spark, tmp_path):
     assert len(edin) == 1 and edin[0].window_start == dt.datetime(2026, 1, 1, 10, 0)
 
 
+def test_streaming_trending_topk_closed_windows(spark, tmp_path):
+    """Trending tokens: watermarked (window, token) counts close as the
+    watermark passes each 10-min window; foreachBatch ranks the CLOSED
+    windows and overwrites its own batch_id dir (idempotent). Two
+    files forced into two micro-batches: the second file's timestamps
+    push the watermark past window 1, so exactly window 1 is emitted."""
+    from osm_pt_validator_spark.streaming.trending import (
+        start_trending_sink,
+        streaming_token_counts,
+        top_k_per_window,
+    )
+
+    src = str(tmp_path / "docs_stream")
+    out = str(tmp_path / "trending_out")
+    ckpt = str(tmp_path / "trending_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, text string"
+    t0 = "2026-01-01 10:0%d:00"
+    spark.createDataFrame(
+        [(t0 % 1, "alpha beta alpha"), (t0 % 2, "alpha gamma")],
+        "ts string, text string",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "text").coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    spark.createDataFrame(
+        [("2026-01-01 11:00:00", "delta")], "ts string, text string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "text").coalesce(1).write.parquet(
+        os.path.join(src, "f2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    counts = streaming_token_counts(
+        stream, window_duration="10 minutes", watermark="0 seconds"
+    )
+    q = start_trending_sink(counts, out, k=2, checkpoint=ckpt)
+    q.awaitTermination()
+    got = spark.read.option("basePath", out).parquet(out)
+    rows = {(r.token): (r.n, r.rank) for r in got.collect()}
+    # window 10:00-10:10 closed by the 11:00 watermark: alpha(3) > beta/gamma(1)
+    assert rows["alpha"] == (3, 1)
+    assert set(rows) == {"alpha", "beta"} or set(rows) == {"alpha", "gamma"}
+    # tie at n=1 broken by token asc => beta
+    assert rows.get("beta") == (1, 2)
+    # batch top_k helper agrees with itself on rank determinism
+    batch = spark.createDataFrame(
+        [("w1", "x", 5), ("w1", "y", 5), ("w1", "z", 1)],
+        "window_start string, token string, n long",
+    )
+    top = top_k_per_window(batch, k=2).collect()
+    assert [(r.token, r.rank) for r in sorted(top, key=lambda r: r.rank)] == [
+        ("x", 1), ("y", 2),
+    ]
+
+
 def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState: a url emitted in micro-batch 1 must be
     suppressed in micro-batch 2 (state survives batches)."""
