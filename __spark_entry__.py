@@ -2033,6 +2033,71 @@ def _sql_kmeans(dim: int = 64, k: int = 4, iters: int = 2) -> str:
     )
 
 
+def q_pq_ann_topk(spark, sf):
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    fixed-point Lloyd codebooks -> zero-shuffle encode -> ADC top-k
+    via broadcast lookup tables. Integer-exact end to end, so the
+    oracle replays train+encode+search to identical rows."""
+    from osm_pt_validator_spark.operators.pq import pq_adc_topk, pq_train
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_train(e, m=4, k=8, iters=1)
+    return pq_adc_topk(e, queries, cb, k=5, m=4)
+
+
+def _sql_pq(dim: int = 64, m: int = 4, k: int = 8, topk: int = 5) -> str:
+    """Replays pq_train (1 Lloyd round per subspace), pq_encode
+    (argmin with ties on cid) and pq_adc_topk (LUT sum) in DuckDB —
+    all integer arithmetic, bit-identical to the Spark plan."""
+    ds = dim // m
+
+    def dist(a, b):
+        return (
+            f"list_sum(list_transform(generate_series(1, {ds}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
+sub AS (SELECT vec_id, j AS m, list_slice(qv, j * {ds} + 1, (j + 1) * {ds}) AS sv
+    FROM q CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)),
+c0 AS (SELECT m, rn - 1 AS cid, sv AS cv FROM (
+    SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn FROM sub)
+    WHERE rn <= {k}),
+a1 AS (SELECT vec_id, m, cid, sv FROM (
+    SELECT s.vec_id, s.m, c.cid, s.sv,
+      row_number() OVER (PARTITION BY s.vec_id, s.m
+        ORDER BY {dist('s.sv', 'c.cv')}, c.cid) AS rn
+    FROM sub s JOIN c0 c ON s.m = c.m) WHERE rn = 1),
+dim1 AS (SELECT m, cid, i, sv[i] AS val FROM a1
+    CROSS JOIN (SELECT unnest(generate_series(1, {ds})) AS i)),
+c1 AS (SELECT m, cid, list(cval ORDER BY i) AS cv FROM (
+    SELECT m, cid, i,
+      CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+    FROM dim1 GROUP BY m, cid, i) GROUP BY m, cid),
+enc AS (SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id, s.m
+        ORDER BY {dist('s.sv', 'c.cv')}, c.cid) AS rn
+    FROM sub s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
+lut AS (SELECT s.vec_id AS query_id, s.m, c.cid, {dist('s.sv', 'c.cv')} AS d
+    FROM sub s JOIN c1 c ON s.m = c.m WHERE s.vec_id < 3),
+adc AS (SELECT l.query_id, e.vec_id, SUM(l.d) AS adc_dist
+    FROM enc e JOIN lut l ON e.m = l.m AND e.cid = l.cid
+    GROUP BY 1, 2)
+SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT query_id, vec_id, adc_dist,
+        row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc)
+WHERE rnk <= {topk}
+"""
+
+
 def q_cosine_pairs(spark, sf):
     """Embedding-cosine near-dup, brute-force baseline (all pairs above
     threshold) — exact counterpart of the LSH-bucketed scale path."""
@@ -3418,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_kept": wrap(q_dedup_clusters_kept),
         "embedding_topk": wrap(q_embedding_topk),
         "kmeans_centroids": wrap(q_kmeans_centroids),
+        "pq_ann_topk": wrap(q_pq_ann_topk),
         "cosine_pairs": wrap(q_cosine_pairs),
         "cosine_bucketed_pairs": wrap(q_cosine_bucketed),
         "pipeline_heatmap": wrap(q_pipeline_heatmap),
@@ -3498,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_kept": _sql_dedup_clusters_kept(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "kmeans_centroids": _sql_kmeans(),
+        "pq_ann_topk": _sql_pq(),
         "cosine_pairs": SQL_COSINE_PAIRS,
         "cosine_bucketed_pairs": _sql_cosine_bucketed(),
         "mentions_extract": SQL_MENTIONS,

@@ -320,3 +320,37 @@ def test_curated_corpus_layout_prunes_on_read(spark, tmp_path):
         .count()
     )
     assert rb.count() == want and want > 0
+
+
+def test_pq_encode_corpus_side_no_shuffle(spark):
+    """pq_encode must be embarrassingly parallel over the corpus: the
+    only Exchanges in the plan belong to the tiny codebook collapse
+    (groupBy m + global collect — 2 shuffles over K*M rows), and the
+    corpus reaches the broadcast join with no Exchange at all. At
+    10^12 vectors a shuffle here would be the whole job."""
+    import re
+
+    from osm_pt_validator_spark.operators.pq import pq_encode, pq_train
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cb = pq_train(emb, m=4, k=8, iters=1)
+    plan = plan_of(pq_encode(emb, cb, m=4))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    # codebook subtree carries ALL the exchanges (its own training
+    # shuffles + the 2-step collapse); the corpus side contributes none:
+    # the embeddings scan feeds straight into the broadcast join.
+    joins = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert joins, plan
+    # corpus scan -> project -> BNLJ with no Exchange in between: the
+    # formatted tree prints the streamed side directly under the join;
+    # assert no Exchange node lists the embeddings scan as its child by
+    # checking the exchange count equals the codebook-only count from a
+    # plan with the corpus side replaced by a 1-row dummy.
+    dummy = spark.range(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.0)] * 64).alias("embedding"),
+    )
+    base = re.findall(
+        r"^\(\d+\) Exchange", plan_of(pq_encode(dummy, cb, m=4)), re.M
+    )
+    assert len(exchanges) == len(base), plan
