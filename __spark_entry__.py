@@ -3405,6 +3405,220 @@ FROM s GROUP BY 1, 2
 """
 
 
+# --- round-3 additions: int8 ANN, upsert, dup spans, anomalies, mixtures ----
+
+
+def q_int8_ann_topk(spark, sf):
+    """Scalar int8-quantized ANN (similarity.int8_quantized_topk):
+    integer dot products over floor(x*127/max|x| + 0.5) codes pick 4*k
+    candidates per query (a WindowGroupLimit — losers pruned map-side,
+    before the shuffle), exact float64 cosine re-ranks to top-k. The
+    integer dot is exact in doubles, so the oracle replays both stages
+    bit-for-bit; approx_ppm retained to measure quantization loss."""
+    from osm_pt_validator_spark.operators.similarity import int8_quantized_topk
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = int8_quantized_topk(e, qs, k=5, rescore=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm"),
+        F.round(F.col("approx_sim") * 1e6).cast("long").alias("approx_ppm"),
+    )
+
+
+SQL_INT8_ANN = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS sc,
+        sqrt(list_dot_product(v, v)) AS nrm
+      FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+z AS (SELECT vec_id, v, sc, nrm,
+        list_transform(v, x -> floor(x * sc + 0.5)) AS q
+      FROM s),
+qt AS (SELECT vec_id AS query_id, v AS qv, sc AS qsc, nrm AS qnrm, q AS qq
+       FROM z WHERE vec_id < 3),
+ap AS (SELECT qt.query_id, z.vec_id, z.v, qt.qv,
+         round(CASE WHEN ((z.sc * qt.qsc) * z.nrm) * qt.qnrm > 0
+           THEN list_dot_product(z.q, qt.qq) / (((z.sc * qt.qsc) * z.nrm) * qt.qnrm)
+           ELSE 0.0 END, 6) AS approx_sim
+       FROM z CROSS JOIN qt),
+cand AS (SELECT query_id, vec_id, v, qv, approx_sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_sim DESC, vec_id ASC) AS cr FROM ap)
+         WHERE cr <= 20),
+ex AS (SELECT query_id, vec_id, approx_sim,
+         round(CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)) > 0
+           THEN list_dot_product(v, qv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+           ELSE 0.0 END, 6) AS sim
+       FROM cand),
+r AS (SELECT query_id, vec_id, sim, approx_sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM ex)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+  CAST(round(sim * 1e6) AS BIGINT) AS sim_ppm,
+  CAST(round(approx_sim * 1e6) AS BIGINT) AS approx_ppm
+FROM r WHERE rank <= 5
+"""
+
+
+def q_snapshot_upsert(spark, sf):
+    """MERGE-style latest-wins upsert (crawl.snapshot_upsert): even
+    event ids play the standing snapshot, odd ids the incoming batch;
+    one union + one shuffle resolves the winner per user with
+    inserted/updated/kept commit metrics — never a full-outer join."""
+    from osm_pt_validator_spark.operators.crawl import snapshot_upsert
+
+    e = _t(spark, sf, "events")
+    snap = e.filter(F.col("event_id") % 2 == 0)
+    batch = e.filter(F.col("event_id") % 2 == 1)
+    merged = snapshot_upsert(
+        snap, batch, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return merged.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_id",
+        "op",
+    )
+
+
+SQL_SNAPSHOT_UPSERT = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_id % 2 = 1),
+r AS (SELECT user_id, ts, event_id, side,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, side DESC, event_id DESC) AS rn,
+        MAX(1 - side) OVER (PARTITION BY user_id) AS has_snap
+      FROM u)
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, event_id,
+  CASE WHEN side = 1 AND has_snap = 1 THEN 'updated'
+       WHEN side = 1 THEN 'inserted'
+       ELSE 'kept' END AS op
+FROM r WHERE rn = 1
+"""
+
+
+def q_dup_spans(spark, sf):
+    """Cross-document duplicated-span pairs (dedup.
+    duplicated_span_pairs): shared winnowing fingerprints certify
+    shared k-token substrings; >= 2 shared fps => verbatim-span
+    overlap. One fingerprint groupBy with in-bucket pair expansion;
+    fps posted by > 64 docs are dropped as boilerplate (the explicit
+    skew cap)."""
+    from osm_pt_validator_spark.operators.dedup import duplicated_span_pairs
+
+    d = _t(spark, sf, "documents")
+    return duplicated_span_pairs(d, k=5, w=4, min_shared=2, max_postings=64)
+
+
+def _sql_dup_spans() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    toks = _SQL_TOKENS.format(t="text")
+    h = md5_i64_sql("array_to_string(toks[i:i+4], ' ')")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i, {h} % 2147483647 AS h
+  FROM d, UNNEST(CASE WHEN len(toks) >= 5
+                      THEN range(1, len(toks) - 3) ELSE [] END) AS t(i)),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id),
+f AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp
+      FROM hl, UNNEST(CASE WHEN len(hs) >= 4
+                           THEN range(1, len(hs) - 2) ELSE [] END) AS t(j)),
+elig AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN elig ON elig.fp = a.fp
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_event_anomalies(spark, sf):
+    """Trailing-window burst detection (temporal.trailing_anomalies):
+    per-event-type hourly volumes vs the 24-hour trailing window; the
+    3-sigma decision is exact integer algebra over frame sums (no
+    Welford-vs-two-pass float drift), z quantized to ppm."""
+    from osm_pt_validator_spark.operators.temporal import trailing_anomalies
+
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = trailing_anomalies(
+        hourly, ["event_type"], "hour_epoch", "n",
+        lookback=24, min_history=8, sigmas=3,
+    )
+    return out.select(
+        "event_type",
+        "hour_epoch",
+        "n",
+        "hist",
+        F.coalesce("z_ppm", F.lit(-999999999)).alias("z_ppm"),
+        "is_anomaly",
+    )
+
+
+SQL_EVENT_ANOMALIES = """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, hour_epoch, n,
+         COUNT(*) OVER fr AS c,
+         SUM(n) OVER fr AS s,
+         SUM(n * n) OVER fr AS q
+  FROM h
+  WINDOW fr AS (PARTITION BY event_type ORDER BY hour_epoch ASC
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour_epoch, n, c AS hist,
+  CASE WHEN c >= 8 AND c * q - s * s > 0
+       THEN CAST(round((n * c - s) / sqrt(c * q - s * s) * 1e6) AS BIGINT)
+       ELSE -999999999 END AS z_ppm,
+  CAST(CASE WHEN c >= 8 AND c * q - s * s > 0 AND n * c - s > 0
+             AND (n * c - s) * (n * c - s) > 9 * (c * q - s * s)
+       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM w
+"""
+
+
+def q_source_mixture(spark, sf):
+    """Temperature-scaled training-mixture weights (curation.
+    mixture_weights, alpha=0.5): per-source tempered shares and repeat
+    factors. sqrt is IEEE-correctly-rounded and the normalizing sums
+    are fixed-point integers, so every engine lands on identical ppm."""
+    from osm_pt_validator_spark.operators.curation import mixture_weights
+
+    d = _t(spark, sf, "documents")
+    return mixture_weights(d, alpha=0.5)
+
+
+SQL_SOURCE_MIXTURE = """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs,
+        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+      FROM c),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n,
+             CAST(SUM(wq) AS BIGINT) AS tot_w FROM w)
+SELECT source, n_docs,
+  (n_docs * 1000000) // tot_n AS natural_ppm,
+  (wq * 1000000) // tot_w AS tempered_ppm,
+  (wq * tot_n * 100) // (tot_w * n_docs) AS epoch_x100
+FROM w CROSS JOIN t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
@@ -3476,6 +3690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
+        "event_anomalies": wrap(q_event_anomalies),
+        "snapshot_upsert": wrap(q_snapshot_upsert),
+        "dup_spans": wrap(q_dup_spans),
+        "source_mixture": wrap(q_source_mixture),
+        "int8_ann_topk": wrap(q_int8_ann_topk),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "split_leakage": wrap(q_split_leakage),
@@ -3557,6 +3776,11 @@ def oracle_sql() -> dict[str, str]:
         "page_rank_orders": _sql_page_rank(),
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
+        "event_anomalies": SQL_EVENT_ANOMALIES,
+        "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
+        "dup_spans": _sql_dup_spans(),
+        "source_mixture": SQL_SOURCE_MIXTURE,
+        "int8_ann_topk": SQL_INT8_ANN,
         "minhash_sigs": _sql_minhash(),
         "near_dup_pairs": _sql_near_dup(),
         "split_leakage": _sql_split_leakage(),

@@ -121,6 +121,54 @@ def changed_pages(
     )
 
 
+def snapshot_upsert(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE-style latest-wins upsert of a crawl batch into a snapshot
+    table — the Iceberg/Delta table-maintenance primitive, expressed as
+    ONE union + ONE shuffle (no join): tag each side, rank rows per key
+    by (ts desc, batch-side first, tiebreaks), keep the winner.
+
+    The `op` column classifies every surviving row for the commit
+    metrics a MERGE reports: 'inserted' (batch row, key absent from the
+    snapshot), 'updated' (batch row won over an existing snapshot row),
+    'kept' (snapshot row survived). Equal timestamps resolve to the
+    batch side (MERGE semantics: the incoming row wins), then by the
+    caller's tiebreak columns — fully deterministic under any
+    partitioning.
+
+    Both window functions share the same partition keys, so Catalyst
+    plans a single Exchange; at 100 TB this is the difference between
+    an upsert that costs one corpus shuffle and a full-outer join that
+    costs two plus the join itself.
+    """
+    tiebreaks = [F.col(c).desc() for c in (tiebreak_cols or [])]
+    s = snapshot.withColumn("__side", F.lit(0))
+    b = batch.withColumn("__side", F.lit(1))
+    u = s.unionByName(b)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col("__side").desc(), *tiebreaks
+    )
+    wk = Window.partitionBy(*key_cols)
+    ranked = u.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__has_snap", F.max(F.lit(1) - F.col("__side")).over(wk)
+    )
+    op = (
+        F.when((F.col("__side") == 1) & (F.col("__has_snap") == 1), F.lit("updated"))
+        .when(F.col("__side") == 1, F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .withColumn("op", op)
+        .drop("__side", "__rn", "__has_snap")
+    )
+
+
 def domain_stats(
     pages: DataFrame, url_col: str = "url", text_col: str = "text"
 ) -> DataFrame:

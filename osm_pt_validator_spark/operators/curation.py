@@ -245,3 +245,65 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+def mixture_weights(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled training-mixture weights per source — the
+    Pile/LLaMA-style rebalancing that upweights small high-quality
+    sources: mixture share of source s ~ n_s^alpha (alpha=1 is natural
+    proportions, alpha=0 uniform).
+
+    Bit-deterministic across engines AND partitionings: the per-source
+    weight n^alpha = exp(alpha*ln(n)) is one double op-sequence on an
+    exact integer input (identical in Spark and DuckDB), then
+    immediately fixed-point quantized to w = floor(n^alpha * 1e6) — so
+    the normalizing sums are INTEGER sums, which commute; a raw double
+    sum over a shuffle would depend on row arrival order. Shares are
+    floor-quantized to ppm; epoch_x100 = floor(100 * tempered_share /
+    natural_share) = how many repeats (x100) of the source realize the
+    tempered mixture over one corpus pass.
+
+    One map-side-combining aggregation over the corpus, then window
+    sums over the tiny per-source rows (never the corpus). Output:
+    (source, n_docs, natural_ppm, tempered_ppm, epoch_x100).
+    """
+    counts = documents.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # alpha=0.5 (the common temperature) goes through sqrt, which IEEE
+    # requires to be correctly rounded — bit-identical in every engine.
+    # exp(alpha*ln(n)) for other alphas is only ulp-accurate per libm;
+    # the fixed-point floor makes a boundary flip vanishingly unlikely
+    # but only the sqrt path is *guaranteed* replayable.
+    n_dbl = F.col("n_docs").cast("double")
+    raised = (
+        F.sqrt(n_dbl)
+        if float(alpha) == 0.5
+        else F.exp(F.lit(float(alpha)) * F.log(n_dbl))
+    )
+    w_int = F.floor(raised * 1e6).cast("long")
+    weighted = counts.withColumn("__w", w_int)
+    tot = Window.partitionBy()
+    return (
+        weighted.withColumn("__tot_n", F.sum("n_docs").over(tot))
+        .withColumn("__tot_w", F.sum("__w").over(tot))
+        .select(
+            source_col,
+            "n_docs",
+            # `div` = exact integer floor division on positives; double
+            # `/` + cast would round-vs-truncate differently per engine
+            F.expr("n_docs * 1000000 div __tot_n").alias("natural_ppm"),
+            F.expr("__w * 1000000 div __tot_w").alias("tempered_ppm"),
+            # int64 headroom: __w <= n^alpha * 1e6, so the cross product
+            # stays under 2^63 through ~10^9 docs/source at alpha=0.5;
+            # beyond that drop the fixed-point scale to 1e3
+            F.expr("(__w * __tot_n * 100) div (__tot_w * n_docs)").alias(
+                "epoch_x100"
+            ),
+        )
+    )

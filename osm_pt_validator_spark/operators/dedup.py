@@ -456,3 +456,56 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         lambda s: F.least(*[s[str(i)] for i in range(w)]),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def duplicated_span_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the exact-substring
+    complement to whole-document MinHash: every shared winnowing
+    fingerprint certifies a shared k-token substring, so pairs with
+    >= min_shared shared fingerprints share (multiple) verbatim spans
+    (the "Deduplicating Training Data" failure mode: boilerplate and
+    quoted passages inside otherwise-distinct documents).
+
+    Shape at 100 TB: candidates come from ONE groupBy on the
+    fingerprint with in-bucket pair expansion (the _bucket_pairs
+    rationale — a self-equi-join would scan and fingerprint the corpus
+    twice), then a counting groupBy on the pair. Fingerprints posted by
+    more than `max_postings` documents are web-wide boilerplate
+    ("all rights reserved"): they would expand to O(n^2) pairs carrying
+    no pair-specific signal, so they are dropped — the cap is the
+    explicit skew guard, the same role the hot-cell threshold plays in
+    the salted spatial join.
+
+    Output: (doc_a, doc_b, shared_fps) with doc_a < doc_b.
+    """
+    fps = documents.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias("fp"),
+    )
+    ids_sorted = F.array_sort(F.collect_set(F.col(id_col)))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(ids_sorted.alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_postings))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -134,3 +134,59 @@ def session_stats(
         F.min(F.unix_timestamp(F.col(ts_col))).alias("start_epoch"),
         F.max(F.unix_timestamp(F.col(ts_col))).alias("end_epoch"),
     )
+
+
+def trailing_anomalies(
+    counts: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    n_col: str = "n",
+    lookback: int = 24,
+    min_history: int = 8,
+    sigmas: int = 3,
+) -> DataFrame:
+    """Trailing-window anomaly detection over a (key, bucket, count)
+    time series: flag buckets whose count exceeds the trailing mean by
+    `sigmas` population standard deviations — the burst detector every
+    crawl/telemetry pipeline runs over its per-hour volumes.
+
+    The frame is ROWS BETWEEN `lookback` PRECEDING AND 1 PRECEDING per
+    key (the current bucket never sees itself). All statistics are
+    derived from INTEGER frame sums (count, sum, sum of squares), so
+    the anomaly decision is exact integer algebra — no Welford-vs-
+    two-pass float drift between engines:
+
+        d     = n*c - S            (c = frame rows, S = frame sum)
+        var'  = c*Q - S^2          (= c^2 * population variance)
+        flag  = d > 0  AND  d^2 > sigmas^2 * var'
+        z_ppm = round(d / sqrt(var') * 1e6)   (sqrt/div of exact ints
+                                               — identical doubles)
+
+    Buckets with under `min_history` trailing rows or zero variance get
+    z_ppm = NULL and never flag. One shuffle on the key; the window is
+    a linear per-key scan.
+
+    Output: key_cols + (ts bucket, n, hist, z_ppm, is_anomaly).
+    """
+    frame = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.col(n_col).cast("long")
+    c = F.count(F.lit(1)).over(frame)
+    s = F.sum(n).over(frame)
+    q = F.sum(n * n).over(frame)
+    d = n * c - s
+    var_c2 = c * q - s * s
+    ok = (c >= min_history) & (var_c2 > 0)
+    z = F.when(ok, F.round(d / F.sqrt(var_c2) * 1e6)).cast("long")
+    flag = ok & (d > 0) & (d * d > sigmas * sigmas * var_c2)
+    return counts.select(
+        *key_cols,
+        F.col(ts_col),
+        n.alias("n"),
+        c.alias("hist"),
+        z.alias("z_ppm"),
+        flag.cast("int").alias("is_anomaly"),
+    )

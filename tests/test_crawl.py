@@ -177,3 +177,53 @@ def test_scrub_pii(spark):
     assert got[2]["n_ipv4"] == 1
     assert got[3]["scrubbed_text"] == "clean text"
     assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_snapshot_upsert_merge_semantics(spark):
+    import datetime
+
+    from osm_pt_validator_spark.operators.crawl import snapshot_upsert
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    snap = spark.createDataFrame(
+        [(1, t(5), 10), (2, t(5), 20), (4, t(5), 40)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, t(6), 11),   # newer -> updated
+            (3, t(4), 30),   # new key -> inserted
+            (4, t(5), 41),   # equal ts -> batch wins (MERGE semantics)
+            (5, t(5), 50),   # batch-internal dup, no snapshot row:
+            (5, t(5), 51),   #   tiebreak keeps the max event_id
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = snapshot_upsert(snap, batch, ["user_id"], "ts", ["event_id"])
+    got = {r["user_id"]: (r["event_id"], r["op"]) for r in out.collect()}
+    assert got == {
+        1: (11, "updated"),
+        2: (20, "kept"),
+        3: (30, "inserted"),
+        4: (41, "updated"),
+        5: (51, "inserted"),
+    }
+    # exactly one row per key, op never null
+    assert out.count() == 5
+
+
+def test_snapshot_upsert_single_exchange(spark):
+    import datetime
+
+    from osm_pt_validator_spark.operators.crawl import snapshot_upsert
+
+    t0 = datetime.datetime(2024, 1, 1)
+    snap = spark.createDataFrame([(1, t0, 1)], "user_id long, ts timestamp, event_id long")
+    batch = spark.createDataFrame([(1, t0, 2)], "user_id long, ts timestamp, event_id long")
+    plan = snapshot_upsert(snap, batch, ["user_id"], "ts", ["event_id"])._jdf.queryExecution().executedPlan().toString()
+    # both windows share the key partitioning -> ONE shuffle, and the
+    # union form never plans a join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -189,3 +189,24 @@ def test_split_leakage_flags_only_cross_split_pairs(spark):
     assert got == want
     # same-group pairs can never leak (grouped split is constant per group)
     assert (1, 2, splits[1], splits[2]) not in got
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    from osm_pt_validator_spark.operators.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "A" if i < 400 else "B") for i in range(404)],
+        "doc_id long, source string",
+    )
+    got = {r["source"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    # wq_A = 20e6, wq_B = 2e6 (sqrt(400)=20, sqrt(4)=2)
+    assert got["A"]["natural_ppm"] == 400 * 1000000 // 404
+    assert got["B"]["natural_ppm"] == 4 * 1000000 // 404
+    assert got["A"]["tempered_ppm"] == 20_000_000 * 1000000 // 22_000_000
+    assert got["B"]["tempered_ppm"] == 2_000_000 * 1000000 // 22_000_000
+    # temperature upweights the small source (>1x repeat), downweights
+    # the big one
+    assert got["B"]["epoch_x100"] == 918
+    assert got["A"]["epoch_x100"] == 91
+    # shares are floor-quantized: sum <= 1e6
+    assert got["A"]["tempered_ppm"] + got["B"]["tempered_ppm"] <= 1000000

@@ -116,3 +116,38 @@ def test_asof_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Union" in plan, plan
+
+
+def test_trailing_anomalies_burst_and_guards(spark):
+    from osm_pt_validator_spark.operators.temporal import trailing_anomalies
+
+    rows = []
+    # key "a": alternating 9/11 history (mean 10, var 1), then a burst
+    for h in range(24):
+        rows.append(("a", h, 9 if h % 2 else 11))
+    rows.append(("a", 24, 100))
+    # key "b": CONSTANT history (zero variance) then a jump — must not
+    # flag (z undefined), z_ppm NULL
+    for h in range(24):
+        rows.append(("b", h, 10))
+    rows.append(("b", 24, 100))
+    df = spark.createDataFrame(rows, "k string, hour long, n long")
+    out = trailing_anomalies(
+        df, ["k"], "hour", "n", lookback=24, min_history=8, sigmas=3
+    ).collect()
+    by = {(r["k"], r["hour"]): r for r in out}
+
+    burst = by[("a", 24)]
+    # c=24, S=240, Q=2424 => d=2160, var'=576, z = 2160/24 = 90
+    assert burst["is_anomaly"] == 1
+    assert burst["z_ppm"] == 90_000_000
+    assert burst["hist"] == 24
+
+    flat_jump = by[("b", 24)]
+    assert flat_jump["is_anomaly"] == 0
+    assert flat_jump["z_ppm"] is None
+
+    # first min_history hours can never flag, whatever the values
+    assert all(by[("a", h)]["is_anomaly"] == 0 for h in range(8))
+    # an ordinary in-band hour does not flag: n=11, d=24 -> z=1
+    assert by[("a", 23)]["is_anomaly"] == 0

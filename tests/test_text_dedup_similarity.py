@@ -458,3 +458,53 @@ def test_kmeans_centroids_feed_ivf_assign(spark):
     got = {r.vec_id: r.centroid_id for r in ivf.collect()}
     want = {r.id: r.cid for r in assign.collect()}
     assert got == want and len(set(got.values())) == 3
+
+
+def test_int8_quantized_topk_matches_brute_force(spark, vectors):
+    from osm_pt_validator_spark.operators.similarity import (
+        brute_force_topk,
+        int8_quantized_topk,
+    )
+
+    rows, df = vectors
+    queries = df.filter(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    quant = int8_quantized_topk(df, queries, k=5, rescore=4)
+
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    got = quant.collect()
+    q = {(r["query_id"], r["rank"]): r["vec_id"] for r in got}
+    # int8 quantization keeps ~2 decimal digits of cosine — with 4x
+    # rescore the exact top-5 must survive candidate selection
+    assert q == e
+    # approx sim within quantization error of the exact re-ranked sim
+    assert all(abs(r["approx_sim"] - r["sim"]) < 0.02 for r in got)
+
+
+def test_duplicated_span_pairs_and_boilerplate_cap(spark):
+    from osm_pt_validator_spark.operators.dedup import duplicated_span_pairs
+
+    span = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro alpha beta {span} gamma delta closing words here"),
+            (2, f"totally different opening {span} and a different ending too"),
+            (3, "no shared content at all just some unrelated filler text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_span_pairs(docs, k=5, w=4, min_shared=2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert pairs == {(1, 2)}
+    assert all(r["shared_fps"] >= 2 for r in out)
+
+    # postings cap: the same span in 3 docs with max_postings=2 means
+    # every shared fingerprint is "boilerplate" -> no pairs at all
+    tri = spark.createDataFrame(
+        [(i, f"doc number {i} says {span} uniquely") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    capped = duplicated_span_pairs(tri, k=5, w=4, min_shared=2, max_postings=2)
+    assert capped.count() == 0
