@@ -3593,6 +3593,37 @@ FROM w
 """
 
 
+def q_exact_median(spark, sf):
+    """Exact per-group median (sketches.exact_group_median): order
+    totals in cents per priority, rank-window middle-row selection —
+    the ground truth the log-binned sketch approximates. median_x2
+    keeps even-group medians in the integer domain (engines disagree
+    on float interpolation order, never on the two middle values)."""
+    from osm_pt_validator_spark.operators.sketches import exact_group_median
+
+    o = _t(spark, sf, "orders")
+    return exact_group_median(
+        o, ["o_orderpriority"], _cents(F.col("o_totalprice"))
+    )
+
+
+SQL_EXACT_MEDIAN = """
+WITH v AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+r AS (SELECT o_orderpriority, v,
+        row_number() OVER (PARTITION BY o_orderpriority ORDER BY v ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY o_orderpriority) AS c
+      FROM v)
+SELECT o_orderpriority, CAST(MAX(c) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN (c + 1) // 2 = (c + 2) // 2 THEN v * 2 ELSE v END)
+       AS BIGINT) AS median_x2
+FROM r
+WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2
+GROUP BY 1
+"""
+
+
 def q_source_mixture(spark, sf):
     """Temperature-scaled training-mixture weights (curation.
     mixture_weights, alpha=0.5): per-source tempered shares and repeat
@@ -3691,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_crawl_events": wrap(q_asof_crawl_events),
         "session_stats_events": wrap(q_session_stats_events),
         "event_anomalies": wrap(q_event_anomalies),
+        "exact_median": wrap(q_exact_median),
         "snapshot_upsert": wrap(q_snapshot_upsert),
         "dup_spans": wrap(q_dup_spans),
         "source_mixture": wrap(q_source_mixture),
@@ -3777,6 +3809,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_crawl_events": SQL_ASOF_CRAWL,
         "session_stats_events": SQL_SESSION_STATS,
         "event_anomalies": SQL_EVENT_ANOMALIES,
+        "exact_median": SQL_EXACT_MEDIAN,
         "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
         "dup_spans": _sql_dup_spans(),
         "source_mixture": SQL_SOURCE_MIXTURE,

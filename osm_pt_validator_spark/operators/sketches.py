@@ -365,3 +365,47 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def exact_group_median(
+    df: DataFrame, key_cols: list[str], value: Column
+) -> DataFrame:
+    """Exact per-group median — the ground-truth counterpart of
+    log_binned_quantiles, for when the answer must be exact (SLA
+    percentiles, billing): rank-window selection of the middle row(s).
+
+    Emits median_x2 = (middle value)*2 for odd groups, (sum of the two
+    middle values) for even groups — the median doubled, kept in the
+    integer domain so the result is engine-identical (every engine's
+    median()/percentile_cont interpolates in its own float order;
+    percentile_disc picks a different middle convention per engine).
+
+    One shuffle on the keys; the rank window is a per-group linear
+    scan. Ties in the value column are harmless: whichever tied rows
+    row_number lands on, the summed values are equal. At 100 TB use the
+    sketch for exploration and this for the keys that matter — an
+    exact median fundamentally requires the full group (no partial
+    aggregation exists), which is WHY the sketch is the default path.
+
+    Output: key_cols + (n, median_x2).
+    """
+    v = df.select(*key_cols, value.alias("v"))
+    w = Window.partitionBy(*key_cols).orderBy(F.col("v").asc())
+    wk = Window.partitionBy(*key_cols)
+    ranked = (
+        v.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__c", F.count(F.lit(1)).over(wk))
+        .withColumn("__lo", F.expr("(__c + 1) div 2"))
+        .withColumn("__hi", F.expr("(__c + 2) div 2"))
+    )
+    mid = ranked.filter(
+        (F.col("__rn") == F.col("__lo")) | (F.col("__rn") == F.col("__hi"))
+    )
+    return mid.groupBy(*key_cols).agg(
+        F.max("__c").alias("n"),
+        F.sum(
+            F.when(F.col("__lo") == F.col("__hi"), F.col("v") * 2).otherwise(
+                F.col("v")
+            )
+        ).alias("median_x2"),
+    )

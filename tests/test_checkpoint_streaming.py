@@ -393,3 +393,62 @@ def test_streaming_incremental_skips_unchanged_recrawls(spark, tmp_path):
         (2, "ways are incorrectly ordered"),
         (3, "way with oneway tag is traversed in wrong direction"),
     ]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream enrichment: clicks joined to the impressions they
+    follow within 10 minutes, both sides watermarked. availableNow over
+    file sources; result must equal the batch join with the identical
+    predicate (multi-match kept, out-of-lag and wrong-order dropped)."""
+    from osm_pt_validator_spark.streaming.enrich import (
+        interval_join_streams,
+        stream_from_dir,
+    )
+
+    imp_dir = str(tmp_path / "impressions")
+    clk_dir = str(tmp_path / "clicks")
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)  # noqa: E731
+    imps = [("A", t(0), 10), ("A", t(2), 11), ("B", t(30), 12)]
+    clks = [
+        ("A", t(5), 100),   # matches imps 10 AND 11 (multi-match)
+        ("A", t(20), 101),  # > 10 min after every A impression -> none
+        ("B", t(29), 102),  # BEFORE the B impression -> none
+        ("B", t(35), 103),  # matches imp 12
+        ("C", t(5), 104),   # no impression at all
+    ]
+    imp_schema = "ad_id string, rts timestamp, imp_id int"
+    clk_schema = "ad_id string, lts timestamp, click_id int"
+    spark.createDataFrame(imps, imp_schema).write.parquet(imp_dir)
+    spark.createDataFrame(clks, clk_schema).write.parquet(clk_dir)
+
+    left = stream_from_dir(spark, clk_dir, clk_schema, "lts", "1 hour")
+    right = stream_from_dir(spark, imp_dir, imp_schema, "rts", "1 hour")
+    joined = interval_join_streams(
+        left, right, ["ad_id"], "lts", "rts", lag="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["imp_id"])
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+    assert got == {(100, 10), (100, 11), (103, 12)}
+
+    # batch equivalence: same predicate over the static tables
+    bl = spark.read.parquet(clk_dir).alias("l")
+    br = spark.read.parquet(imp_dir).alias("r")
+    batch = bl.join(
+        br,
+        F.expr(
+            "l.ad_id = r.ad_id AND r.rts >= l.lts - INTERVAL 10 minutes"
+            " AND r.rts <= l.lts"
+        ),
+    )
+    want = {(r["click_id"], r["imp_id"]) for r in batch.collect()}
+    assert got == want

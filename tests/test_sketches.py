@@ -183,3 +183,25 @@ def test_inverted_index_single_shuffle(spark):
     # window + groupBy share the token partitioning: exactly one Exchange
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1, plan
+
+
+def test_exact_group_median_odd_even_and_ties(spark):
+    from osm_pt_validator_spark.operators.sketches import exact_group_median
+
+    rows = (
+        [("odd", v) for v in (5, 1, 9, 3, 7)]        # median 5
+        + [("even", v) for v in (10, 40, 20, 30)]    # middles 20,30
+        + [("tied", v) for v in (2, 2, 2, 8)]        # middles 2,2
+        + [("one", 42)]                              # single row
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["n"], r["median_x2"])
+        for r in exact_group_median(df, ["k"], F.col("v")).collect()
+    }
+    assert got == {
+        "odd": (5, 10),
+        "even": (4, 50),
+        "tied": (4, 4),
+        "one": (1, 84),
+    }
