@@ -795,6 +795,63 @@ FROM ({zones}) GROUP BY 1
 """
 
 
+# zone_geometry gets a triangle on top of the two zonal rectangles so
+# the shoelace/centroid paths see a non-axis-aligned ring
+GEO_POLYS = ZONE_POLYS + [
+    (3, [-3.200, -3.150, -3.180], [55.910, 55.915, 55.960]),
+]
+
+
+def q_zone_geometry(spark, sf):
+    """Polygon geometry profile (spatial/zones.py:zone_geometry):
+    integer-exact shoelace area (vertices quantized to micro-degrees
+    first — the cross-term sum is int64, order-independent),
+    mm-quantized haversine perimeter, truncating-div vertex centroid.
+    Pure per-row column algebra over the vertex arrays: no explode, no
+    shuffle."""
+    from osm_pt_validator_spark.spatial.zones import zone_geometry
+
+    polys = spark.createDataFrame(
+        GEO_POLYS, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    return zone_geometry(polys)
+
+
+def _sql_zone_geometry() -> str:
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def q(v: float) -> str:  # micro-degree quantized vertex
+        return f"CAST(round({d(v)} * 1e6) AS BIGINT)"
+
+    rows = []
+    for pid, xs, ys in GEO_POLYS:
+        nv = len(xs)
+        cross = " + ".join(
+            f"({q(xs[a])} * {q(ys[(a + 1) % nv])}"
+            f" - {q(xs[(a + 1) % nv])} * {q(ys[a])})"
+            for a in range(nv)
+        )
+        per = " + ".join(
+            "CAST(round(("
+            + _sql_haversine(
+                d(ys[a]), d(xs[a]), d(ys[(a + 1) % nv]), d(xs[(a + 1) % nv])
+            )
+            + ") * 1000.0) AS BIGINT)"
+            for a in range(nv)
+        )
+        cx = "(" + " + ".join(q(x) for x in xs) + f") // {nv}"
+        cy = "(" + " + ".join(q(y) for y in ys) + f") // {nv}"
+        rows.append(
+            f"SELECT CAST({pid} AS BIGINT) AS polygon_id,"
+            f" CAST({nv} AS INT) AS n_vertices,"
+            f" abs({cross}) AS area2_udeg2,"
+            f" ({per}) AS perimeter_mm,"
+            f" {cx} AS centroid_lon_udeg, {cy} AS centroid_lat_udeg"
+        )
+    return " UNION ALL ".join(rows)
+
+
 def q_hotspot_clusters(spark, sf):
     """Grid-DBSCAN hotspot clustering (spatial/zones.py): cells with
     >= 10 events are core; 8-neighbor-adjacent cores merge via the
@@ -3593,6 +3650,51 @@ FROM w
 """
 
 
+def q_funnel(spark, sf):
+    """Ordered-funnel conversion (temporal.funnel_stages): per user,
+    how far the view -> click -> purchase sequence progressed and when
+    it completed. Greedy earliest matching via a fold over the
+    time-sorted slim event array — one shuffle, no window, no Python.
+    The oracle replays it as a chained min-timestamp lattice (provably
+    the same answer for distinct step predicates)."""
+    from osm_pt_validator_spark.operators.temporal import funnel_stages
+
+    e = _t(spark, sf, "events")
+    out = funnel_stages(
+        e, ["user_id"], "ts", ["view", "click", "purchase"]
+    )
+    return out.select(
+        "user_id",
+        "stage_reached",
+        F.coalesce("completed_epoch", F.lit(-1)).alias("completed_epoch"),
+    )
+
+
+SQL_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+s0 AS (SELECT user_id, MIN(t) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT ev.user_id, MIN(ev.t) AS t
+       FROM ev JOIN s0 USING (user_id)
+       WHERE ev.event_type = 'click' AND ev.t >= s0.t GROUP BY 1),
+s2 AS (SELECT ev.user_id, MIN(ev.t) AS t
+       FROM ev JOIN s1 USING (user_id)
+       WHERE ev.event_type = 'purchase' AND ev.t >= s1.t GROUP BY 1),
+keys AS (SELECT DISTINCT user_id FROM ev
+         WHERE event_type IN ('view', 'click', 'purchase'))
+SELECT k.user_id,
+  CAST(CASE WHEN s2.t IS NOT NULL THEN 3
+            WHEN s1.t IS NOT NULL THEN 2
+            WHEN s0.t IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS stage_reached,
+  COALESCE(s2.t, -1) AS completed_epoch
+FROM keys k
+LEFT JOIN s0 USING (user_id)
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+"""
+
+
 def q_exact_median(spark, sf):
     """Exact per-group median (sketches.exact_group_median): order
     totals in cents per priority, rank-window middle-row selection —
@@ -3679,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial (G3-G8)
         "cell_counts_events": wrap(q_cell_counts_events),
         "zonal_stats_customers": wrap(q_zonal_stats),
+        "zone_geometry": wrap(q_zone_geometry),
         "hotspot_clusters_events": wrap(q_hotspot_clusters),
         "compact_cover": wrap(q_compact_cover),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
@@ -3723,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": wrap(q_session_stats_events),
         "event_anomalies": wrap(q_event_anomalies),
         "exact_median": wrap(q_exact_median),
+        "funnel_stages": wrap(q_funnel),
         "snapshot_upsert": wrap(q_snapshot_upsert),
         "dup_spans": wrap(q_dup_spans),
         "source_mixture": wrap(q_source_mixture),
@@ -3772,6 +3876,7 @@ def oracle_sql() -> dict[str, str]:
         "parent_relations": SQL_PARENT_RELATIONS,
         "cell_counts_events": SQL_CELL_COUNTS,
         "zonal_stats_customers": _sql_zonal_stats(),
+        "zone_geometry": _sql_zone_geometry(),
         "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
         "compact_cover": _sql_compact_cover(),
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
@@ -3810,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": SQL_SESSION_STATS,
         "event_anomalies": SQL_EVENT_ANOMALIES,
         "exact_median": SQL_EXACT_MEDIAN,
+        "funnel_stages": SQL_FUNNEL,
         "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
         "dup_spans": _sql_dup_spans(),
         "source_mixture": SQL_SOURCE_MIXTURE,

@@ -190,3 +190,76 @@ def trailing_anomalies(
         z.alias("z_ppm"),
         flag.cast("int").alias("is_anomaly"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    steps: list[str],
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy ordered-funnel analysis: per key, how far through the
+    step sequence the event history gets (view -> click -> purchase),
+    and when it completed — the conversion query every event pipeline
+    runs.
+
+    Greedy earliest matching is OPTIMAL for subsequence containment
+    (taking the first qualifying event never forecloses a later
+    stage), so the result is well-defined. Implementation: events that
+    match any step collapse to slim (ts, step_idx) structs, ONE
+    map-side-combined shuffle groups them per key, and a fold
+    (F.aggregate) over the time-sorted array advances a stage counter —
+    at most one stage per event, ties resolved by (ts, step_idx) sort
+    order, so the fold is deterministic under any partitioning. No
+    Python, no window: the per-key scan is a single codegen'd
+    expression.
+
+    Semantics note: one event advances at most one stage. With distinct
+    step predicates this is the standard funnel; if two CONSECUTIVE
+    steps share a predicate, a key needs two matching events (an
+    earliest-timestamp chain would silently reuse one).
+
+    Output: key_cols + (stage_reached INT, completed_epoch LONG —
+    epoch seconds of the stage that completed the funnel, NULL if not
+    completed).
+    """
+    n_steps = len(steps)
+    step_idx = F.lit(None).cast("int")
+    for i in range(n_steps - 1, -1, -1):
+        step_idx = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(
+            step_idx
+        )
+    slim = (
+        events.select(
+            *key_cols,
+            F.unix_timestamp(F.col(ts_col)).alias("__ts"),
+            step_idx.alias("__step"),
+        )
+        .filter(F.col("__step").isNotNull())
+    )
+    arr = slim.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(F.struct("__ts", "__step"))).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("long").alias("done_ts"),
+    )
+    fold = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda acc, e: F.when(
+            (e["__step"] == acc["stage"]) & (acc["stage"] < n_steps),
+            F.struct(
+                (acc["stage"] + 1).cast("int").alias("stage"),
+                F.when(acc["stage"] + 1 == n_steps, e["__ts"])
+                .otherwise(F.lit(None).cast("long"))
+                .alias("done_ts"),
+            ),
+        ).otherwise(acc),
+    )
+    return arr.select(
+        *key_cols,
+        fold["stage"].alias("stage_reached"),
+        fold["done_ts"].alias("completed_epoch"),
+    )

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm_pt_validator_spark.functions.geo import DEFAULT_RES, cell, kring_cells
+from osm_pt_validator_spark.functions.geo import (
+    DEFAULT_RES,
+    cell,
+    haversine_m,
+    kring_cells,
+)
 from osm_pt_validator_spark.operators.clusters import connected_components
 from osm_pt_validator_spark.spatial.pip import points_in_polygons
 
@@ -101,3 +106,71 @@ def hotspot_clusters(
         .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_points"))
     )
     return out
+
+
+def zone_geometry(
+    polygons: DataFrame,
+    polygon_id: str = "polygon_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Per-polygon geometry profile — vertex count, shoelace area,
+    haversine perimeter, vertex centroid — the vector-side rollup that
+    pairs with zonal_stats (points per zone) and tile_bounds (raster ->
+    vector): zone density = n_points / area needs this table.
+
+    Determinism contract: vertices are quantized to integer
+    micro-degrees FIRST, so the shoelace cross terms and their sum are
+    exact int64 arithmetic (order-independent — a float shoelace sum
+    would depend on vertex order of evaluation across engines). The
+    perimeter quantizes each edge's haversine to mm before summing, so
+    the total is again an integer sum. area2_udeg2 is TWICE the planar
+    signed area, absolute value, in (micro-degree)^2 — callers scale by
+    cos(lat) for meters; keeping the raw integer avoids baking a
+    projection choice into the operator.
+
+    Pure column algebra over the vertex arrays (zip of shifted slices)
+    — no explode, no shuffle: one projection per polygon row.
+    """
+    n = F.size(F.col(xs_col))
+    xi = F.transform(F.col(xs_col), lambda x: F.round(x * 1e6).cast("long"))
+    yi = F.transform(F.col(ys_col), lambda y: F.round(y * 1e6).cast("long"))
+    # next-vertex arrays: rotate left by one (edge a -> a+1, last -> 0)
+    rot = lambda a: F.concat(F.slice(a, 2, n - 1), F.slice(a, 1, 1))  # noqa: E731
+    quads = F.arrays_zip(
+        xi.alias("x"), yi.alias("y"), rot(xi).alias("xn"), rot(yi).alias("yn")
+    )
+    cross = F.aggregate(
+        quads,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (t["x"] * t["yn"] - t["xn"] * t["y"]),
+    )
+    edges = F.arrays_zip(
+        F.col(ys_col).alias("y1"),
+        F.col(xs_col).alias("x1"),
+        rot(F.col(ys_col)).alias("y2"),
+        rot(F.col(xs_col)).alias("x2"),
+    )
+    per_mm = F.aggregate(
+        edges,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.round(
+            haversine_m(e["y1"], e["x1"], e["y2"], e["x2"]) * 1000.0
+        ).cast("long"),
+    )
+    sum_long = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    # integer division truncating toward zero — matches DuckDB's `//`
+    # and Spark SQL's `div` (Column API has no integer-div operator);
+    # (a - a%b) is exactly divisible, so the double division is exact
+    tdiv = lambda a, b: ((a - a % b) / b).cast("long")  # noqa: E731
+    return polygons.select(
+        F.col(polygon_id),
+        n.cast("int").alias("n_vertices"),
+        F.abs(cross).alias("area2_udeg2"),
+        per_mm.alias("perimeter_mm"),
+        tdiv(sum_long(xi), n).alias("centroid_lon_udeg"),
+        tdiv(sum_long(yi), n).alias("centroid_lat_udeg"),
+    )

@@ -606,3 +606,47 @@ def test_compact_uncompact_roundtrip_and_minimality(spark):
         if r.res == 6
     }
     assert ((40 << 32) | 2, 6) in again
+
+
+def test_zone_geometry_square_exact(spark):
+    import math
+
+    from osm_pt_validator_spark.spatial.zones import zone_geometry
+
+    # 0.01-degree square at the origin and its reversed (CW) twin:
+    # area must be orientation-independent, centroid exact
+    xs = [0.0, 0.01, 0.01, 0.0]
+    ys = [0.0, 0.0, 0.01, 0.01]
+    polys = spark.createDataFrame(
+        [(1, xs, ys), (2, list(reversed(xs)), list(reversed(ys)))],
+        "polygon_id long, xs array<double>, ys array<double>",
+    )
+    got = {r["polygon_id"]: r for r in zone_geometry(polys).collect()}
+    for pid in (1, 2):
+        r = got[pid]
+        assert r["n_vertices"] == 4
+        # shoelace x2 of a 10000x10000 micro-degree square
+        assert r["area2_udeg2"] == 2 * 10000 * 10000
+        assert r["centroid_lon_udeg"] == 5000
+        assert r["centroid_lat_udeg"] == 5000
+
+    def hav(y1, x1, y2, x2):
+        dlat = math.radians(y2 - y1)
+        dlon = math.radians(x2 - x1)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(y1))
+            * math.cos(math.radians(y2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+    want_mm = sum(
+        round(
+            hav(ys[a], xs[a], ys[(a + 1) % 4], xs[(a + 1) % 4]) * 1000.0
+        )
+        for a in range(4)
+    )
+    # python round is half-even vs Spark's half-up; edges here are not
+    # on .5 boundaries so the totals agree exactly
+    assert got[1]["perimeter_mm"] == want_mm

@@ -151,3 +151,38 @@ def test_trailing_anomalies_burst_and_guards(spark):
     assert all(by[("a", h)]["is_anomaly"] == 0 for h in range(8))
     # an ordinary in-band hour does not flag: n=11, d=24 -> z=1
     assert by[("a", 23)]["is_anomaly"] == 0
+
+
+def test_funnel_stages_greedy_order(spark):
+    from osm_pt_validator_spark.operators.temporal import funnel_stages
+
+    rows = [
+        # u1: full funnel in order
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2: purchase BEFORE click -> stuck at stage 2
+        (2, "view", _ts(1)), (2, "purchase", _ts(2)), (2, "click", _ts(3)),
+        # u3: never views; click/purchase present -> stage 0
+        (3, "click", _ts(1)), (3, "purchase", _ts(2)),
+        # u4: same-timestamp progression view/click at the same second
+        (4, "view", _ts(5)), (4, "click", _ts(5)), (4, "purchase", _ts(6)),
+        # u5: early click ignored, later one counts
+        (5, "click", _ts(1)), (5, "view", _ts(2)), (5, "click", _ts(4)),
+        # u6: only irrelevant events -> absent from output
+        (6, "error", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: (r["stage_reached"], r["completed_epoch"])
+        for r in funnel_stages(df, ["user_id"], "ts", ["view", "click", "purchase"]).collect()
+    }
+    import calendar
+
+    def ep(m):
+        return calendar.timegm(_ts(m).timetuple())
+
+    assert got[1] == (3, ep(3))
+    assert got[2] == (2, None)
+    assert got[3] == (0, None)
+    assert got[4] == (3, ep(6))
+    assert got[5] == (2, None)
+    assert 6 not in got
