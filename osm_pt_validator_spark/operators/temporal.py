@@ -230,8 +230,13 @@ def funnel_stages(
         step_idx = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(
             step_idx
         )
+    # the isin filter is implied by __step IS NOT NULL, but Catalyst
+    # cannot derive pushable predicates from a derived CASE column —
+    # stating it on the raw column sends it into the parquet scan
+    # (PushedFilters), so non-funnel event types are never read
     slim = (
-        events.select(
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
             *key_cols,
             F.unix_timestamp(F.col(ts_col)).alias("__ts"),
             step_idx.alias("__step"),

@@ -354,3 +354,55 @@ def test_pq_encode_corpus_side_no_shuffle(spark):
         r"^\(\d+\) Exchange", plan_of(pq_encode(dummy, cb, m=4)), re.M
     )
     assert len(exchanges) == len(base), plan
+
+
+def test_int8_ann_prunes_candidates_map_side(spark):
+    """int8_quantized_topk's rank<=k*rescore candidate filter must be a
+    WindowGroupLimit: each map task keeps its local top candidates per
+    query BEFORE the shuffle — the property that makes quantized
+    candidate generation cheaper than brute force at scale."""
+    from osm_pt_validator_spark.operators.similarity import (
+        int8_quantized_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    plan = plan_of(int8_quantized_topk(e, qs, k=5, rescore=4))
+    assert "WindowGroupLimit" in plan, plan
+    # the embeddings fact side is scanned twice at most (candidates +
+    # queries), never more. Formatted explain prints each node twice
+    # (tree + detail header) — count detail headers only.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_funnel_single_exchange_partial_agg(spark):
+    """funnel_stages: ONE shuffle on the key; the collect_list is
+    partially aggregated map-side (ObjectHashAggregate partial) so the
+    exchange carries per-key slim arrays, not raw events."""
+    from osm_pt_validator_spark.operators.temporal import funnel_stages
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(
+        funnel_stages(e, ["user_id"], "ts", ["view", "click", "purchase"])
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "ObjectHashAggregate" in plan, plan
+    # the step filter must reach the scan: only funnel event types read
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_zone_geometry_zero_shuffle(spark):
+    from osm_pt_validator_spark.spatial.zones import zone_geometry
+
+    polys = spark.createDataFrame(
+        [(1, [0.0, 1.0, 1.0], [0.0, 0.0, 1.0])],
+        "polygon_id long, xs array<double>, ys array<double>",
+    )
+    plan = plan_of(zone_geometry(polys))
+    assert "Exchange" not in plan, plan
