@@ -852,6 +852,67 @@ def _sql_zone_geometry() -> str:
     return " UNION ALL ".join(rows)
 
 
+# simplify fixture: four hand-derivable polylines at eps=0.8 degrees.
+# Expected outputs below are derived BY HAND (perpendicular distances
+# computed from the cross-product formula on paper), so the oracle is
+# independent of the engine: L1 wiggle (max dev 0.1) collapses to its
+# endpoints; L2 spike keeps the apex (dev 2.0) and drops the 0.707-dev
+# shoulders; L3 is a 2-point segment; L4's square exercises the
+# first-max tie-break (two vertices at dev 2.0) and keeps everything.
+SIMPLIFY_LINES = [
+    (1, [0.0, 1.0, 2.0, 3.0, 4.0], [0.0, 0.1, -0.1, 0.05, 0.0]),
+    (2, [0.0, 1.0, 2.0, 3.0, 4.0], [0.0, 0.0, 2.0, 0.0, 0.0]),
+    (3, [0.0, 5.0], [0.0, 5.0]),
+    (4, [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0]),
+]
+
+SIMPLIFY_GOLDEN = [
+    (1, 5, 2, 0, 0.0, 0.0), (1, 5, 2, 1, 4.0, 0.0),
+    (2, 5, 3, 0, 0.0, 0.0), (2, 5, 3, 1, 2.0, 2.0), (2, 5, 3, 2, 4.0, 0.0),
+    (3, 2, 2, 0, 0.0, 0.0), (3, 2, 2, 1, 5.0, 5.0),
+    (4, 4, 4, 0, 0.0, 0.0), (4, 4, 4, 1, 2.0, 0.0),
+    (4, 4, 4, 2, 2.0, 2.0), (4, 4, 4, 3, 0.0, 2.0),
+]
+
+
+def q_route_simplify(spark, sf):
+    """Douglas-Peucker polyline simplification (spatial/simplify.py):
+    eps=0.8deg over the four fixture shapes, kept vertices exploded to
+    rows. DP's data-dependent recursion is not column algebra (same
+    engine class as the frontier automaton) — mapInPandas, zero
+    shuffle; the oracle is hand-derived golden VALUES."""
+    from osm_pt_validator_spark.spatial.simplify import simplify_polylines
+
+    lines = spark.createDataFrame(
+        SIMPLIFY_LINES, "line_id long, xs array<double>, ys array<double>"
+    )
+    out = simplify_polylines(lines, eps_deg=0.8)
+    return out.select(
+        "line_id",
+        "n_in",
+        "n_out",
+        F.posexplode(F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"))).alias(
+            "seq", "v"
+        ),
+    ).select(
+        "line_id",
+        "n_in",
+        "n_out",
+        F.col("seq").cast("int").alias("seq"),
+        F.col("v.x").alias("x"),
+        F.col("v.y").alias("y"),
+    )
+
+
+def _sql_route_simplify() -> str:
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS line_id, CAST(c1 AS INT) AS n_in,"
+        " CAST(c2 AS INT) AS n_out, CAST(c3 AS INT) AS seq,"
+        " CAST(c4 AS DOUBLE) AS x, CAST(c5 AS DOUBLE) AS y"
+        " FROM (VALUES " + _values(SIMPLIFY_GOLDEN) + ") t(c0, c1, c2, c3, c4, c5)"
+    )
+
+
 def q_hotspot_clusters(spark, sf):
     """Grid-DBSCAN hotspot clustering (spatial/zones.py): cells with
     >= 10 events are core; 8-neighbor-adjacent cores merge via the
@@ -3782,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_events": wrap(q_cell_counts_events),
         "zonal_stats_customers": wrap(q_zonal_stats),
         "zone_geometry": wrap(q_zone_geometry),
+        "route_simplify": wrap(q_route_simplify),
         "hotspot_clusters_events": wrap(q_hotspot_clusters),
         "compact_cover": wrap(q_compact_cover),
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
@@ -3877,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_events": SQL_CELL_COUNTS,
         "zonal_stats_customers": _sql_zonal_stats(),
         "zone_geometry": _sql_zone_geometry(),
+        "route_simplify": _sql_route_simplify(),
         "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
         "compact_cover": _sql_compact_cover(),
         "tile_heatmap_customers": SQL_TILE_HEATMAP,

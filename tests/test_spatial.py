@@ -650,3 +650,69 @@ def test_zone_geometry_square_exact(spark):
     # python round is half-even vs Spark's half-up; edges here are not
     # on .5 boundaries so the totals agree exactly
     assert got[1]["perimeter_mm"] == want_mm
+
+
+def test_simplify_polylines_dp_properties(spark):
+    import numpy as np
+
+    from osm_pt_validator_spark.spatial.simplify import (
+        dp_keep_mask,
+        simplify_polylines,
+    )
+
+    # pure-python recursive reference (independent implementation)
+    def ref_dp(xs, ys, eps):
+        n = len(xs)
+        keep = [False] * n
+        keep[0] = keep[-1] = True
+
+        def rec(a, b):
+            if b - a < 2:
+                return
+            ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+            dx, dy = bx - ax, by - ay
+            seg2 = dx * dx + dy * dy
+            best, bd2 = -1, eps * eps
+            for m in range(a + 1, b):
+                if seg2 > 0:
+                    c = (xs[m] - ax) * dy - (ys[m] - ay) * dx
+                    d2 = c * c / seg2
+                else:
+                    d2 = (xs[m] - ax) ** 2 + (ys[m] - ay) ** 2
+                if d2 > bd2:
+                    best, bd2 = m, d2
+            if best >= 0:
+                keep[best] = True
+                rec(a, best)
+                rec(best, b)
+
+        rec(0, n - 1)
+        return keep
+
+    rng = np.random.RandomState(3)
+    for trial in range(20):
+        n = rng.randint(2, 40)
+        xs = np.cumsum(rng.rand(n)).tolist()
+        ys = (rng.randn(n) * rng.choice([0.1, 1.0])).tolist()
+        eps = float(rng.choice([0.05, 0.5, 2.0]))
+        got = dp_keep_mask(
+            np.asarray(xs), np.asarray(ys), eps
+        ).tolist()
+        assert got == ref_dp(xs, ys, eps), (trial, xs, ys, eps)
+
+    # Spark path: idempotence + endpoint invariants on a fixed line
+    lines = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 3.0, 4.0], [0.0, 0.0, 2.0, 0.0, 0.0])],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    once = simplify_polylines(lines, eps_deg=0.8).collect()[0]
+    assert once["n_in"] == 5 and once["n_out"] == 3
+    assert once["xs"][0] == 0.0 and once["xs"][-1] == 4.0
+    again = simplify_polylines(
+        spark.createDataFrame(
+            [(1, once["xs"], once["ys"])],
+            "line_id long, xs array<double>, ys array<double>",
+        ),
+        eps_deg=0.8,
+    ).collect()[0]
+    assert again["xs"] == once["xs"] and again["ys"] == once["ys"]
