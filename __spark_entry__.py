@@ -3672,8 +3672,29 @@ def q_event_anomalies(spark, sf):
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    # densify: the ROWS-based trailing frame needs zero-filled buckets,
+    # or quiet hours vanish and the baseline mean is biased upward
+    # (trailing_anomalies docstring) — grid = every type x every hour
+    bounds = hourly.agg(
+        F.min("hour_epoch").alias("__mn"), F.max("hour_epoch").alias("__mx")
+    )
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("__mn"), F.col("__mx"), F.lit(3600))
+            ).alias("hour_epoch"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "hour_epoch"], "left").select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
     out = trailing_anomalies(
-        hourly, ["event_type"], "hour_epoch", "n",
+        dense, ["event_type"], "hour_epoch", "n",
         lookback=24, min_history=8, sigmas=3,
     )
     return out.select(
@@ -3692,12 +3713,20 @@ WITH h AS (
          CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
          COUNT(*) AS n
   FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(hour_epoch) AS mn, MAX(hour_epoch) AS mx FROM h),
+grid AS (
+  SELECT t.event_type, g.he AS hour_epoch
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN b, UNNEST(generate_series(b.mn, b.mx, 3600)) AS g(he)),
+d AS (
+  SELECT grid.event_type, grid.hour_epoch, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h USING (event_type, hour_epoch)),
 w AS (
   SELECT event_type, hour_epoch, n,
          COUNT(*) OVER fr AS c,
          SUM(n) OVER fr AS s,
          SUM(n * n) OVER fr AS q
-  FROM h
+  FROM d
   WINDOW fr AS (PARTITION BY event_type ORDER BY hour_epoch ASC
                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
 SELECT event_type, hour_epoch, n, c AS hist,
@@ -3732,15 +3761,14 @@ def q_funnel(spark, sf):
 
 
 SQL_FUNNEL = """
-WITH ev AS (SELECT user_id, event_type,
-              CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
-s0 AS (SELECT user_id, MIN(t) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
-s1 AS (SELECT ev.user_id, MIN(ev.t) AS t
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT ev.user_id, MIN(ev.ts) AS t
        FROM ev JOIN s0 USING (user_id)
-       WHERE ev.event_type = 'click' AND ev.t >= s0.t GROUP BY 1),
-s2 AS (SELECT ev.user_id, MIN(ev.t) AS t
+       WHERE ev.event_type = 'click' AND ev.ts >= s0.t GROUP BY 1),
+s2 AS (SELECT ev.user_id, MIN(ev.ts) AS t
        FROM ev JOIN s1 USING (user_id)
-       WHERE ev.event_type = 'purchase' AND ev.t >= s1.t GROUP BY 1),
+       WHERE ev.event_type = 'purchase' AND ev.ts >= s1.t GROUP BY 1),
 keys AS (SELECT DISTINCT user_id FROM ev
          WHERE event_type IN ('view', 'click', 'purchase'))
 SELECT k.user_id,
@@ -3748,7 +3776,7 @@ SELECT k.user_id,
             WHEN s1.t IS NOT NULL THEN 2
             WHEN s0.t IS NOT NULL THEN 1
             ELSE 0 END AS INT) AS stage_reached,
-  COALESCE(s2.t, -1) AS completed_epoch
+  COALESCE(CAST(floor(epoch(s2.t)) AS BIGINT), -1) AS completed_epoch
 FROM keys k
 LEFT JOIN s0 USING (user_id)
 LEFT JOIN s1 USING (user_id)
@@ -3773,7 +3801,8 @@ def q_exact_median(spark, sf):
 SQL_EXACT_MEDIAN = """
 WITH v AS (SELECT o_orderpriority,
              CAST(round(o_totalprice * 100) AS BIGINT) AS v
-           FROM orders),
+           FROM orders
+           WHERE o_totalprice IS NOT NULL),
 r AS (SELECT o_orderpriority, v,
         row_number() OVER (PARTITION BY o_orderpriority ORDER BY v ASC) AS rn,
         COUNT(*) OVER (PARTITION BY o_orderpriority) AS c
@@ -3808,7 +3837,9 @@ t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n,
 SELECT source, n_docs,
   (n_docs * 1000000) // tot_n AS natural_ppm,
   (wq * 1000000) // tot_w AS tempered_ppm,
-  (wq * tot_n * 100) // (tot_w * n_docs) AS epoch_x100
+  CASE WHEN (n_docs * 1000000) // tot_n > 0
+       THEN (((wq * 1000000) // tot_w) * 100) // ((n_docs * 1000000) // tot_n)
+       ELSE -1 END AS epoch_x100
 FROM w CROSS JOIN t
 """
 

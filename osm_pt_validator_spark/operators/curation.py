@@ -264,9 +264,13 @@ def mixture_weights(
     immediately fixed-point quantized to w = floor(n^alpha * 1e6) — so
     the normalizing sums are INTEGER sums, which commute; a raw double
     sum over a shuffle would depend on row arrival order. Shares are
-    floor-quantized to ppm; epoch_x100 = floor(100 * tempered_share /
-    natural_share) = how many repeats (x100) of the source realize the
-    tempered mixture over one corpus pass.
+    floor-quantized to ppm; epoch_x100 = floor(100 * tempered_ppm /
+    natural_ppm) = how many repeats (x100) of the source realize the
+    tempered mixture over one corpus pass — computed from the two
+    already-quantized ppm shares (each <= 1e6, product <= 1e8) so no
+    intermediate can overflow int64 at ANY corpus size; a cross
+    product of the raw totals would overflow around 2e7 docs/source.
+    A source whose natural share floors to 0 ppm gets the -1 sentinel.
 
     One map-side-combining aggregation over the corpus, then window
     sums over the tiny per-source rows (never the corpus). Output:
@@ -299,11 +303,11 @@ def mixture_weights(
             # `/` + cast would round-vs-truncate differently per engine
             F.expr("n_docs * 1000000 div __tot_n").alias("natural_ppm"),
             F.expr("__w * 1000000 div __tot_w").alias("tempered_ppm"),
-            # int64 headroom: __w <= n^alpha * 1e6, so the cross product
-            # stays under 2^63 through ~10^9 docs/source at alpha=0.5;
-            # beyond that drop the fixed-point scale to 1e3
-            F.expr("(__w * __tot_n * 100) div (__tot_w * n_docs)").alias(
-                "epoch_x100"
-            ),
+            F.expr(
+                "CASE WHEN n_docs * 1000000 div __tot_n > 0 THEN"
+                " ((__w * 1000000 div __tot_w) * 100)"
+                " div (n_docs * 1000000 div __tot_n)"
+                " ELSE -1 END"
+            ).alias("epoch_x100"),
         )
     )

@@ -144,6 +144,21 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     return minhash_signature_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
+def _pair_structs(ids_col: str = "ids"):
+    """(doc_a < doc_b) struct pairs expanded from a sorted id array —
+    shared by every in-bucket candidate generator (LSH bands, SimHash
+    chunks, span fingerprints): one definition of the slice arithmetic."""
+    return F.flatten(
+        F.transform(
+            F.col(ids_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
     """(doc_a < doc_b) pairs co-bucketed on bucket_cols, via ONE
     groupBy + in-bucket pair expansion — the LSH candidate shape that
@@ -158,20 +173,11 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> Data
     way (the join produces exactly the same rows), but here the corpus
     is read once and only bucket ids shuffle."""
     ids_sorted = F.array_sort(F.collect_list(F.col(id_col)))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
         keyed.groupBy(*bucket_cols)
         .agg(ids_sorted.alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(_pair_structs("ids")).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
@@ -474,37 +480,44 @@ def duplicated_span_pairs(
     (the "Deduplicating Training Data" failure mode: boilerplate and
     quoted passages inside otherwise-distinct documents).
 
-    Shape at 100 TB: candidates come from ONE groupBy on the
-    fingerprint with in-bucket pair expansion (the _bucket_pairs
-    rationale — a self-equi-join would scan and fingerprint the corpus
-    twice), then a counting groupBy on the pair. Fingerprints posted by
-    more than `max_postings` documents are web-wide boilerplate
-    ("all rights reserved"): they would expand to O(n^2) pairs carrying
-    no pair-specific signal, so they are dropped — the cap is the
-    explicit skew guard, the same role the hot-cell threshold plays in
-    the salted spatial join.
+    Shape at 100 TB: the slim (doc_id, fp) table is shuffled ONCE onto
+    the fingerprint key and persisted; postings counts come from a
+    map-side-combining count over it (never materializing a postings
+    array), and only fingerprints within [2, max_postings] reach the
+    collect_set + in-bucket pair expansion (_pair_structs) — so the
+    largest array any reducer ever builds is max_postings ids. Counting
+    BEFORE collecting is the point: a hot boilerplate fingerprint
+    ("all rights reserved", posted by millions of docs) must be dropped
+    by a partially-aggregated count, not discovered after one task has
+    buffered its full postings set. The eligible-join and both groupBys
+    reuse the same fp partitioning — no further shuffle of the pairs
+    input. The cap is the explicit skew guard, the same role the
+    hot-cell threshold plays in the salted spatial join.
 
     Output: (doc_a, doc_b, shared_fps) with doc_a < doc_b.
     """
-    fps = documents.select(
-        F.col(id_col),
-        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias("fp"),
+    from pyspark.storagelevel import StorageLevel
+
+    fps = (
+        documents.select(
+            F.col(id_col),
+            F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias("fp"),
+        )
+        .repartition(F.col("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    eligible = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_postings))
+        .select("fp")
     )
     ids_sorted = F.array_sort(F.collect_set(F.col(id_col)))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        fps.groupBy("fp")
+        fps.join(eligible, "fp")
+        .groupBy("fp")
         .agg(ids_sorted.alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_postings))
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(_pair_structs("ids")).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)

@@ -206,9 +206,12 @@ def with_int8(
     is the same IEEE op sequence in both engines, unlike each engine's
     round().
 
-    At 100 TB this is the memory-bandwidth win: the candidate scan reads
-    4x fewer vector bytes (int8 vs float32) and the re-rank touches only
-    the surviving top-k*rescore rows' float vectors."""
+    The 4x memory-bandwidth win at 100 TB comes from PERSISTING the
+    (q, s) columns and scanning them INSTEAD of the float vectors —
+    with_int8 is that write-path encoder. Computed inline (as
+    int8_quantized_topk below does for self-contained correctness
+    checking) the float column is still read, so the inline win is the
+    exact integer dot + map-side candidate prune, not bandwidth."""
     v = _as_double(F.col(vec_col))
     m = F.array_max(F.transform(v, lambda x: F.abs(x)))
     out = df.withColumn(
@@ -243,6 +246,9 @@ def int8_quantized_topk(
     WindowGroupLimit in Spark 3.5+: each map task keeps only its local
     top candidates per query BEFORE the shuffle, so the exchange carries
     O(queries * k * rescore) rows per partition, never the corpus.
+    (Codes are computed inline here; for the persisted-code scan path —
+    the actual 4x-bytes win — encode with with_int8 at write time and
+    feed the stored columns in.)
 
     Output: (query_id, vec_id, rank, sim, approx_sim) — rank/sim from
     the exact re-rank; approx_sim retained to measure quantization loss.

@@ -382,14 +382,18 @@ def exact_group_median(
 
     One shuffle on the keys; the rank window is a per-group linear
     scan. Ties in the value column are harmless: whichever tied rows
-    row_number lands on, the summed values are equal. At 100 TB use the
+    row_number lands on, the summed values are equal. NULL values are
+    excluded before ranking (SQL-standard aggregate semantics — ranked
+    NULLs would sort first and shift the middle). At 100 TB use the
     sketch for exploration and this for the keys that matter — an
     exact median fundamentally requires the full group (no partial
     aggregation exists), which is WHY the sketch is the default path.
 
-    Output: key_cols + (n, median_x2).
+    Output: key_cols + (n non-null values, median_x2).
     """
-    v = df.select(*key_cols, value.alias("v"))
+    v = df.select(*key_cols, value.alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     w = Window.partitionBy(*key_cols).orderBy(F.col("v").asc())
     wk = Window.partitionBy(*key_cols)
     ranked = (

@@ -166,6 +166,11 @@ def trailing_anomalies(
     z_ppm = NULL and never flag. One shuffle on the key; the window is
     a linear per-key scan.
 
+    Input contract: `counts` must be DENSE per key (one row per bucket,
+    zero-count buckets included). A ROWS frame over sparse buckets
+    silently spans quiet periods and biases the trailing mean upward —
+    zero-fill against a bucket grid first (see q_event_anomalies).
+
     Output: key_cols + (ts bucket, n, hist, z_ppm, is_anomaly).
     """
     frame = (
@@ -211,7 +216,10 @@ def funnel_stages(
     map-side-combined shuffle groups them per key, and a fold
     (F.aggregate) over the time-sorted array advances a stage counter —
     at most one stage per event, ties resolved by (ts, step_idx) sort
-    order, so the fold is deterministic under any partitioning. No
+    order, so the fold is deterministic under any partitioning. The
+    sort key is the RAW timestamp (microsecond precision) — truncating
+    to seconds first would turn genuinely-ordered sub-second events
+    into ties and count out-of-order funnels as conversions. No
     Python, no window: the per-key scan is a single codegen'd
     expression.
 
@@ -238,7 +246,7 @@ def funnel_stages(
         events.filter(F.col(type_col).isin(list(steps)))
         .select(
             *key_cols,
-            F.unix_timestamp(F.col(ts_col)).alias("__ts"),
+            F.col(ts_col).alias("__ts"),
             step_idx.alias("__step"),
         )
         .filter(F.col("__step").isNotNull())
@@ -257,7 +265,9 @@ def funnel_stages(
             (e["__step"] == acc["stage"]) & (acc["stage"] < n_steps),
             F.struct(
                 (acc["stage"] + 1).cast("int").alias("stage"),
-                F.when(acc["stage"] + 1 == n_steps, e["__ts"])
+                F.when(
+                    acc["stage"] + 1 == n_steps, F.unix_timestamp(e["__ts"])
+                )
                 .otherwise(F.lit(None).cast("long"))
                 .alias("done_ts"),
             ),

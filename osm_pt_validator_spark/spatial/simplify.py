@@ -72,12 +72,17 @@ def simplify_polylines(
     xs_col: str = "xs",
     ys_col: str = "ys",
 ) -> DataFrame:
-    """(line_id, xs, ys) -> (line_id, n_in, n_out, xs, ys) with the
-    Douglas-Peucker-kept vertices, order preserved. Pure map stage —
-    zero shuffle; Arrow batches in and out."""
-    schema = (
-        f"{line_id} long, n_in int, n_out int, "
-        "xs array<double>, ys array<double>"
+    """(line_id, xs_col, ys_col) -> (line_id, n_in, n_out, xs_col,
+    ys_col) with the Douglas-Peucker-kept vertices, order preserved.
+    The id column keeps the caller's type (string shape ids are common)
+    and the coordinate columns keep the caller's names. Pure map stage
+    — zero shuffle; Arrow batches in and out."""
+    from pyspark.sql import types as T
+
+    id_type = lines.schema[line_id].dataType.simpleString()
+    schema = T.StructType.fromDDL(
+        f"{line_id} {id_type}, n_in int, n_out int, "
+        f"{xs_col} array<double>, {ys_col} array<double>"
     )
 
     def run(batches):
@@ -99,7 +104,7 @@ def simplify_polylines(
                     )
                 )
             yield pd.DataFrame(
-                out, columns=[line_id, "n_in", "n_out", "xs", "ys"]
+                out, columns=[line_id, "n_in", "n_out", xs_col, ys_col]
             )
 
     return lines.select(line_id, xs_col, ys_col).mapInPandas(run, schema=schema)

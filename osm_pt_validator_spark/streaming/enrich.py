@@ -60,7 +60,10 @@ def interval_join_streams(
     range predicate is what bounds the join state: each side keeps only
     rows younger than (other side's watermark - lag). Output columns:
     all left columns, then the right's non-key columns (key columns are
-    emitted once, from the left).
+    emitted once, from the left); a right column whose name collides
+    with a left column is emitted as r_<name> so the result is always
+    selectable/sinkable (duplicate names raise on any downstream
+    reference).
     """
     cond = " AND ".join(
         [f"l.{k} = r.{k}" for k in keys]
@@ -71,7 +74,11 @@ def interval_join_streams(
     )
     joined = left.alias("l").join(right.alias("r"), F.expr(cond), "inner")
     right_cols = [c for c in right.columns if c not in keys]
+    taken = set(left.columns)
     return joined.select(
         *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in right_cols],
+        *[
+            F.col(f"r.{c}").alias(f"r_{c}" if c in taken else c)
+            for c in right_cols
+        ],
     )

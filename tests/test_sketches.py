@@ -205,3 +205,19 @@ def test_exact_group_median_odd_even_and_ties(spark):
         "tied": (4, 4),
         "one": (1, 84),
     }
+
+
+def test_exact_group_median_excludes_nulls(spark):
+    from osm_pt_validator_spark.operators.sketches import exact_group_median
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1), ("g", 2), ("empty", None)],
+        "k string, v long",
+    )
+    got = {
+        r["k"]: (r["n"], r["median_x2"])
+        for r in exact_group_median(df, ["k"], F.col("v")).collect()
+    }
+    # NULLs excluded: median of {1,2} is 1.5 -> median_x2 = 3, n = 2;
+    # an all-NULL group disappears (no non-null values to rank)
+    assert got == {"g": (2, 3)}

@@ -716,3 +716,17 @@ def test_simplify_polylines_dp_properties(spark):
         eps_deg=0.8,
     ).collect()[0]
     assert again["xs"] == once["xs"] and again["ys"] == once["ys"]
+
+
+def test_simplify_polylines_string_id_and_custom_names(spark):
+    from osm_pt_validator_spark.spatial.simplify import simplify_polylines
+
+    lines = spark.createDataFrame(
+        [("shape:42", [0.0, 1.0, 2.0], [0.0, 5.0, 0.0])],
+        "shape_id string, lons array<double>, lats array<double>",
+    )
+    out = simplify_polylines(
+        lines, eps_deg=0.5, line_id="shape_id", xs_col="lons", ys_col="lats"
+    ).collect()[0]
+    assert out["shape_id"] == "shape:42"
+    assert out["n_out"] == 3 and out["lons"] == [0.0, 1.0, 2.0]

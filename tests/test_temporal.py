@@ -186,3 +186,33 @@ def test_funnel_stages_greedy_order(spark):
     assert got[4] == (3, ep(6))
     assert got[5] == (2, None)
     assert 6 not in got
+
+
+def test_funnel_subsecond_order_not_a_tie(spark):
+    """purchase 100ms BEFORE click (same whole second) must NOT count
+    as a conversion: the fold sorts by the raw microsecond timestamp,
+    not a second-truncated one."""
+    import datetime
+
+    from osm_pt_validator_spark.operators.temporal import funnel_stages
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 5)
+    rows = [
+        (1, "view", base.replace(microsecond=0)),
+        (1, "purchase", base.replace(microsecond=100000)),
+        (1, "click", base.replace(microsecond=900000)),
+        # u2: genuinely ordered within the same second -> converts
+        (2, "view", base.replace(microsecond=100000)),
+        (2, "click", base.replace(microsecond=200000)),
+        (2, "purchase", base.replace(microsecond=300000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: (r["stage_reached"], r["completed_epoch"])
+        for r in funnel_stages(
+            df, ["user_id"], "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1][0] == 2
+    assert got[1][1] is None
+    assert got[2][0] == 3
