@@ -2807,6 +2807,96 @@ def q_frame_sample(spark, sf):
     )
 
 
+def q_media_features(spark, sf):
+    """REAL no-decoder feature extraction (multimodal.
+    byte_stats_features): per-payload high-nibble byte histogram + the
+    Shannon entropy signal media curation filters on. Entropy terms are
+    micro-bit quantized BEFORE summation, so the total is an integer
+    sum the oracle replays from hex-extracted bytes."""
+    from osm_pt_validator_spark.operators.multimodal import (
+        byte_stats_features,
+    )
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return byte_stats_features(media)
+
+
+SQL_MEDIA_FEATURES = """
+WITH media AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+b AS (SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+      FROM media WHERE octet_length(payload) > 0),
+by AS (SELECT media_id, n, ('0x' || substr(hx, i * 2 + 1, 2))::INT // 16 AS bucket
+       FROM b, UNNEST(range(n)) AS t(i)),
+c AS (SELECT media_id, MIN(n) AS n, bucket, COUNT(*) AS cnt
+      FROM by GROUP BY media_id, bucket),
+e AS (SELECT media_id, bucket, cnt, n,
+        CAST(floor((cnt / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / cnt)
+                   * 1e6 + 0.5) AS BIGINT) AS ub
+      FROM c)
+SELECT media_id, CAST(bucket AS INT) AS bucket, cnt,
+  (cnt * 1000000) // n AS ppm,
+  CAST(SUM(ub) OVER (PARTITION BY media_id) AS BIGINT) AS entropy_ubits
+FROM e
+"""
+
+
+def q_media_resize(spark, sf):
+    """Aspect-preserving resize planning (multimodal.resize_plan):
+    source dims parsed for REAL from the synthesized PNG/JPEG headers,
+    fit box in exact integer ppm arithmetic. The oracle replays the
+    payload-construction dims + the same fit formula. (The pixel
+    resample itself is behind the documented require_real contract —
+    resized_key is the deterministic cache key, checked in pytest.)"""
+    from osm_pt_validator_spark.fixtures import media_payload
+    from osm_pt_validator_spark.operators.multimodal import resize_plan
+
+    def synth(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            kinds, payloads = [], []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                k, p = media_payload(int(i), txt)
+                kinds.append(k)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    media = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+        .mapInPandas(synth, "media_id long, kind string, payload binary")
+    )
+    return resize_plan(media, target_w=224, target_h=224).select(
+        "media_id", "src_w", "src_h", "dst_w", "dst_h", "scale_ppm"
+    )
+
+
+SQL_MEDIA_RESIZE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+    CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 240
+                         WHEN 1 THEN 16 + doc_id % 200 END AS INT) AS src_w,
+    CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id // 7) % 240
+                         WHEN 1 THEN 16 + (doc_id // 3) % 200 END AS INT) AS src_h
+  FROM documents WHERE doc_id % 4 IN (0, 1)),
+fit AS (
+  SELECT media_id, src_w, src_h,
+    LEAST((224 * 1000000) // src_w, (224 * 1000000) // src_h) AS scale_ppm
+  FROM dims)
+SELECT media_id, src_w, src_h,
+  CAST(GREATEST(1, (src_w * scale_ppm) // 1000000) AS INT) AS dst_w,
+  CAST(GREATEST(1, (src_h * scale_ppm) // 1000000) AS INT) AS dst_h,
+  scale_ppm
+FROM fit
+"""
+
+
 def q_ivf_ann_topk(spark, sf):
     """IVF coarse-quantizer ANN (inverted lists by md5-residue-class
     centroids — fully replayed by the DuckDB oracle)."""
@@ -3944,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": wrap(q_ivf_ann_topk),
         "verdict_heatmap": wrap(q_verdict_heatmap),
         "media_decode": wrap(q_media_decode),
+        "media_features": wrap(q_media_features),
+        "media_resize": wrap(q_media_resize),
         "frame_sample": wrap(q_frame_sample),
         "gap_prefilter": wrap(q_gap_prefilter),
         "mentions_extract": wrap(q_mentions_extract),
@@ -4030,6 +4122,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_decode": SQL_MEDIA_DECODE,
+        "media_features": SQL_MEDIA_FEATURES,
+        "media_resize": SQL_MEDIA_RESIZE,
         "frame_sample": SQL_FRAME_SAMPLE,
         "gap_prefilter": _sql_gap_prefilter(),
         "pip_contained": _sql_pip(),

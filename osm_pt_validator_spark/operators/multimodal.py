@@ -240,3 +240,127 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.octet_length("payload").alias("n_bytes"),
         F.hex(F.substring("payload", 1, 4)).alias("magic_hex"),
     )
+
+
+FEATURES_SCHEMA = (
+    "media_id long, bucket int, cnt long, ppm long, entropy_ubits long"
+)
+
+
+def byte_stats_features(media: DataFrame, buckets: int = 16) -> DataFrame:
+    """REAL feature extraction needing no decoder library: per-payload
+    byte-bucket histogram (high nibble -> 16 buckets) and Shannon
+    entropy over the buckets — the compressibility/format signal media
+    curation pipelines filter on (e.g. drop near-zero-entropy padding
+    blobs, flag ciphertext-high entropy).
+
+    Determinism contract: counts are exact integers; each bucket's
+    entropy term (cnt/n)*log2(n/cnt) is quantized to MICRO-BITS with
+    floor(x*1e6 + 0.5) BEFORE summation, so the per-payload total is an
+    integer sum — order-independent and engine-replayable (same ulp
+    caveat as every libm-based oracle here: a term would have to sit
+    within ~1e-9 of a rounding boundary to flip). numpy bincount per
+    payload inside Arrow batches; empty payloads yield no rows.
+
+    Output (exploded per occupied bucket): media_id, bucket, cnt,
+    ppm = cnt*1e6 div n, entropy_ubits (same value on each of the
+    payload's rows).
+    """
+    shift = 8 - (buckets - 1).bit_length()
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                if n == 0:
+                    continue
+                cnts = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) >> shift,
+                    minlength=buckets,
+                )
+                nz = np.nonzero(cnts)[0]
+                c = cnts[nz].astype(np.float64)
+                terms = (c / n) * np.log2(n / c) * 1e6
+                ubits = int(np.floor(terms + 0.5).astype(np.int64).sum())
+                for bkt in nz:
+                    cnt = int(cnts[bkt])
+                    rows.append(
+                        (int(media_id), int(bkt), cnt, cnt * 1_000_000 // n, ubits)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "bucket", "cnt", "ppm", "entropy_ubits"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _feats, schema=FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "scale_ppm long, resized_key string"
+)
+
+
+def resize_plan(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    require_real: bool = False,
+) -> DataFrame:
+    """Aspect-preserving resize planning for image payloads.
+
+    The SOURCE dimensions are REAL (stdlib PNG/JPEG header parse —
+    _parse_headers); the fit box is exact integer arithmetic:
+    scale_ppm = min(target_w*1e6 div w, target_h*1e6 div h), dst =
+    max(1, src*scale_ppm div 1e6) — replayable in any engine. Only the
+    pixel resample itself needs a decoder the container lacks, so the
+    output carries `resized_key` — the deterministic cache key
+    (md5 of payload hex + the target box) the resampled blob WOULD be
+    stored under — instead of resampled bytes; require_real=True raises
+    for payloads whose headers cannot be parsed (same contract as
+    decode_media).
+    """
+
+    def _plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                parsed = _parse_png(b) or _parse_jpeg(b)
+                if parsed is not None:
+                    w, h = parsed
+                elif require_real and not _real_decode_available():
+                    raise NotImplementedError(
+                        "image payload has no parseable PNG/JPEG header and "
+                        "full decoding requires PIL, which is not installed"
+                    )
+                else:
+                    w, h, _d, _f = _fake_decode(b, str(kind))
+                if w <= 0 or h <= 0:
+                    continue
+                scale_ppm = min(
+                    target_w * 1_000_000 // w, target_h * 1_000_000 // h
+                )
+                dw = max(1, w * scale_ppm // 1_000_000)
+                dh = max(1, h * scale_ppm // 1_000_000)
+                key = hashlib.md5(
+                    f"{b.hex().upper()}|{dw}x{dh}".encode()
+                ).hexdigest()
+                rows.append((int(media_id), w, h, dw, dh, scale_ppm, key))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "dst_w", "dst_h",
+                    "scale_ppm", "resized_key",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(_plan, schema=RESIZE_SCHEMA)

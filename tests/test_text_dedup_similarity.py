@@ -508,3 +508,63 @@ def test_duplicated_span_pairs_and_boilerplate_cap(spark):
     )
     capped = duplicated_span_pairs(tri, k=5, w=4, min_shared=2, max_postings=2)
     assert capped.count() == 0
+
+
+def test_byte_stats_features_known_payloads(spark):
+    from osm_pt_validator_spark.operators.multimodal import byte_stats_features
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"aaaa")),        # one bucket -> entropy 0
+            (2, bytearray(b"\x00\xff")),    # two equal buckets -> 1 bit
+            (3, bytearray(b"")),            # empty -> no rows
+        ],
+        "media_id long, payload binary",
+    )
+    rows = byte_stats_features(media).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    one = by_media[1]
+    assert len(one) == 1 and one[0]["bucket"] == 6  # 'a' = 0x61
+    assert one[0]["cnt"] == 4 and one[0]["ppm"] == 1000000
+    assert one[0]["entropy_ubits"] == 0
+    two = sorted(by_media[2], key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in two] == [0, 15]
+    assert all(r["ppm"] == 500000 for r in two)
+    assert all(r["entropy_ubits"] == 1000000 for r in two)
+    assert 3 not in by_media
+
+
+def test_resize_plan_real_headers_and_contract(spark):
+    import pytest as _pytest
+
+    from osm_pt_validator_spark.fixtures import media_payload
+    from osm_pt_validator_spark.operators.multimodal import resize_plan
+
+    k0, p0 = media_payload(0, "x")     # PNG 16x16
+    k1, p1 = media_payload(481, "x")   # JPEG 16+481%200=97 x 16+160%200=176
+    media = spark.createDataFrame(
+        [(0, k0, bytearray(p0)), (481, k1, bytearray(p1))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_plan(media, 224, 224).collect()}
+    r0 = got[0]
+    assert (r0["src_w"], r0["src_h"]) == (16, 16)
+    assert (r0["dst_w"], r0["dst_h"]) == (224, 224)
+    assert r0["scale_ppm"] == 14_000_000
+    r1 = got[481]
+    assert (r1["src_w"], r1["src_h"]) == (97, 176)
+    # scale limited by height: 224e6 // 176 = 1272727 ppm
+    assert r1["scale_ppm"] == 224 * 1_000_000 // 176
+    assert r1["dst_h"] in (223, 224) and r1["dst_w"] == 97 * r1["scale_ppm"] // 1_000_000
+    assert len(r1["resized_key"]) == 32
+
+    # unknown format: fake tier by default, raises under require_real
+    junk = spark.createDataFrame(
+        [(9, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, payload binary",
+    )
+    assert resize_plan(junk).count() == 1
+    with _pytest.raises(Exception):
+        resize_plan(junk, require_real=True).collect()
