@@ -852,6 +852,51 @@ def _sql_zone_geometry() -> str:
     return " UNION ALL ".join(rows)
 
 
+POLYFILL_RES = 15
+
+
+def q_polyfill_zones(spark, sf):
+    """Polygon -> covering cells (spatial/polyfill.py:cell_polyfill,
+    the H3 polygonToCells analog): bbox index ranges -> candidate cells
+    from chained sequence explodes -> center-containment crossing
+    parity as an integer F.aggregate fold. Zero shuffles, zero Python:
+    one codegen generator+projection pipeline per polygon (map-only
+    plan asserted in tests)."""
+    from osm_pt_validator_spark.spatial.polyfill import cell_polyfill
+
+    polys = spark.createDataFrame(
+        GEO_POLYS, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    return cell_polyfill(polys, res=POLYFILL_RES)
+
+
+def _sql_polyfill_zones() -> str:
+    n = 1 << POLYFILL_RES
+
+    def idx(v: float, off: float, span: float) -> str:
+        return (
+            f"GREATEST(0, LEAST({n - 1}, CAST(floor((CAST({v!r} AS DOUBLE)"
+            f" + {off}) / {span} * {n}) AS BIGINT)))"
+        )
+
+    parts = []
+    for pid, xs, ys in GEO_POLYS:
+        # center coords in the SAME float-op order as the Spark side
+        py = f"((CAST(i AS DOUBLE) + 0.5) / {float(n)!r} * 180.0 - 90.0)"
+        px = f"((CAST(j AS DOUBLE) + 0.5) / {float(n)!r} * 360.0 - 180.0)"
+        parity = _sql_crossing_parity(xs, ys, px, py)
+        parts.append(
+            f"SELECT CAST({pid} AS BIGINT) AS polygon_id,"
+            f" ((i << 32) | j) AS cell"
+            f" FROM generate_series({idx(min(ys), 90.0, 180.0)},"
+            f" {idx(max(ys), 90.0, 180.0)}) AS gi(i),"
+            f" generate_series({idx(min(xs), 180.0, 360.0)},"
+            f" {idx(max(xs), 180.0, 360.0)}) AS gj(j)"
+            f" WHERE ({parity}) % 2 = 1"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # simplify fixture: four hand-derivable polylines at eps=0.8 degrees.
 # Expected outputs below are derived BY HAND (perpendicular distances
 # computed from the cross-product formula on paper), so the oracle is
@@ -3964,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_events": wrap(q_cell_counts_events),
         "zonal_stats_customers": wrap(q_zonal_stats),
         "zone_geometry": wrap(q_zone_geometry),
+        "polyfill_zones": wrap(q_polyfill_zones),
         "route_simplify": wrap(q_route_simplify),
         "hotspot_clusters_events": wrap(q_hotspot_clusters),
         "compact_cover": wrap(q_compact_cover),
@@ -4062,6 +4108,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_events": SQL_CELL_COUNTS,
         "zonal_stats_customers": _sql_zonal_stats(),
         "zone_geometry": _sql_zone_geometry(),
+        "polyfill_zones": _sql_polyfill_zones(),
         "route_simplify": _sql_route_simplify(),
         "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
         "compact_cover": _sql_compact_cover(),

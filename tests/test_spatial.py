@@ -730,3 +730,72 @@ def test_simplify_polylines_string_id_and_custom_names(spark):
     ).collect()[0]
     assert out["shape_id"] == "shape:42"
     assert out["n_out"] == 3 and out["lons"] == [0.0, 1.0, 2.0]
+
+
+def test_cell_polyfill_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.polyfill import cell_polyfill
+
+    # rectangle + non-axis-aligned triangle (exercises the slanted-edge
+    # crossing terms) at a res where each spans a handful of cells
+    polys = [
+        (1, [-3.300, -3.260, -3.260, -3.300], [55.900, 55.900, 55.950, 55.950]),
+        (2, [-3.250, -3.190, -3.220], [55.900, 55.900, 55.960]),
+    ]
+    res = 15
+    df = spark.createDataFrame(
+        polys, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    got = {(r.polygon_id, r.cell) for r in cell_polyfill(df, res=res).collect()}
+
+    def inside(px, py, xs, ys):
+        c, n = False, len(xs)
+        for a in range(n):
+            b = (a + 1) % n
+            if (ys[a] > py) != (ys[b] > py) and px < xs[a] + (py - ys[a]) / (
+                ys[b] - ys[a]
+            ) * (xs[b] - xs[a]):
+                c = not c
+        return c
+
+    n = 1 << res
+
+    def idx(v, off, span):
+        return max(0, min(n - 1, int(math.floor((v + off) / span * n))))
+
+    want = set()
+    for pid, xs, ys in polys:
+        for i in range(idx(min(ys), 90.0, 180.0), idx(max(ys), 90.0, 180.0) + 1):
+            for j in range(idx(min(xs), 180.0, 360.0), idx(max(xs), 180.0, 360.0) + 1):
+                py = (i + 0.5) / n * 180.0 - 90.0
+                px = (j + 0.5) / n * 360.0 - 180.0
+                if inside(px, py, xs, ys):
+                    want.add((pid, (i << 32) | j))
+    assert got == want and len(want) > 20
+    # adjacent-polygon partition property: center rule assigns each cell
+    # to at most one of two edge-sharing polygons
+    shared = [
+        (1, [-3.300, -3.260, -3.260, -3.300], [55.900, 55.900, 55.950, 55.950]),
+        (2, [-3.260, -3.220, -3.220, -3.260], [55.900, 55.900, 55.950, 55.950]),
+    ]
+    sdf = spark.createDataFrame(
+        shared, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    cells = cell_polyfill(sdf, res=res).groupBy("cell").count().collect()
+    assert all(r["count"] == 1 for r in cells)
+
+
+def test_cell_polyfill_map_only_plan(spark):
+    from osm_pt_validator_spark.spatial.polyfill import cell_polyfill
+
+    df = spark.createDataFrame(
+        [(1, [-3.3, -3.2, -3.2, -3.3], [55.9, 55.9, 56.0, 56.0])],
+        "polygon_id long, xs array<double>, ys array<double>",
+    )
+    plan = (
+        cell_polyfill(df, res=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # polyfill is a pure generator+projection pipeline: zero shuffles
+    assert "Exchange" not in plan
