@@ -897,6 +897,131 @@ def _sql_polyfill_zones() -> str:
     return " UNION ALL ".join(parts)
 
 
+# trajectory fixtures: events walk a coarse 8x8 street grid so distinct
+# users traverse coincident segments (the corridor-detection setup)
+_TRAJ_LAT = "55.9 + ((event_id * 7) % 8) * 0.001"
+_TRAJ_LON = "-3.3 + ((event_id * 13) % 8) * 0.001"
+
+
+def _traj_points(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (55.9 + ((F.col("event_id") * 7) % 8) * 0.001).alias("lat"),
+        (-3.3 + ((F.col("event_id") * 13) % 8) * 0.001).alias("lon"),
+    )
+
+
+_SQL_TRAJ_PTS = f"""
+  SELECT user_id, ts, event_id,
+         CAST(round(({_TRAJ_LAT}) * 1e6) AS BIGINT) AS la,
+         CAST(round(({_TRAJ_LON}) * 1e6) AS BIGINT) AS lo
+  FROM events
+"""
+
+
+def q_shared_segments(spark, sf):
+    """Co-traversed corridor detection (spatial/trajectory.py:
+    shared_segments): per-user time-sorted paths -> direction-agnostic
+    canonical segments (exact µdeg integer identity, per-row
+    array_distinct so no count-distinct shuffle) -> map-side-combining
+    count per segment. Two shuffles total (traj_id, segment key)."""
+    from osm_pt_validator_spark.spatial.trajectory import shared_segments
+
+    return shared_segments(
+        _traj_points(spark, sf), "user_id", ["ts", "event_id"], min_trajs=2
+    )
+
+
+SQL_SHARED_SEGMENTS = f"""
+WITH pts AS ({_SQL_TRAJ_PTS}),
+seq AS (
+  SELECT user_id, la, lo, lead(la) OVER w AS nla, lead(lo) OVER w AS nlo
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, la, lo)),
+segs AS (
+  SELECT DISTINCT user_id,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN la ELSE nla END AS la1,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN lo ELSE nlo END AS lo1,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN nla ELSE la END AS la2,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN nlo ELSE lo END AS lo2
+  FROM seq WHERE nla IS NOT NULL AND (la != nla OR lo != nlo))
+SELECT la1, lo1, la2, lo2, COUNT(*) AS n_trajs
+FROM segs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2
+"""
+
+
+def q_trajectory_turns(spark, sf):
+    """Per-trajectory turn/tortuosity profile (spatial/trajectory.py:
+    turn_profile): consecutive-duplicate collapse, exact int64
+    cross/dot turn classification, mm-quantized haversine path vs
+    chord. ONE shuffle (traj_id); everything after is array algebra."""
+    from osm_pt_validator_spark.spatial.trajectory import turn_profile
+
+    return turn_profile(_traj_points(spark, sf), "user_id", ["ts", "event_id"])
+
+
+def _sql_trajectory_turns() -> str:
+    hav_mm = (
+        "CAST(round(("
+        + _sql_haversine(
+            "(la / 1000000.0)", "(lo / 1000000.0)",
+            "(nla / 1000000.0)", "(nlo / 1000000.0)",
+        )
+        + ") * 1000.0) AS BIGINT)"
+    )
+    chord_mm = (
+        "CAST(round(("
+        + _sql_haversine(
+            "(fla / 1000000.0)", "(flo / 1000000.0)",
+            "(lla / 1000000.0)", "(llo / 1000000.0)",
+        )
+        + ") * 1000.0) AS BIGINT)"
+    )
+    return f"""
+WITH pts AS ({_SQL_TRAJ_PTS}),
+ord_pts AS (
+  SELECT user_id, ts, event_id, la, lo,
+         lag(la) OVER w AS pla, lag(lo) OVER w AS plo
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, la, lo)),
+ded AS (
+  SELECT user_id, ts, event_id, la, lo FROM ord_pts
+  WHERE pla IS NULL OR la != pla OR lo != plo),
+vec AS (
+  SELECT user_id, ts, event_id, la, lo,
+         lead(la) OVER w2 AS nla, lead(lo) OVER w2 AS nlo
+  FROM ded WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+vv AS (
+  SELECT user_id, la, lo, nla, nlo, (nla - la) AS dy, (nlo - lo) AS dx,
+         lead(nla - la) OVER w3 AS dy2, lead(nlo - lo) OVER w3 AS dx2
+  FROM vec WHERE nla IS NOT NULL
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+pstats AS (
+  SELECT user_id, CAST(COUNT(*) AS INT) AS n_points,
+         first(la ORDER BY ts, event_id) AS fla,
+         first(lo ORDER BY ts, event_id) AS flo,
+         last(la ORDER BY ts, event_id) AS lla,
+         last(lo ORDER BY ts, event_id) AS llo
+  FROM ded GROUP BY user_id),
+vstats AS (
+  SELECT user_id, CAST(SUM({hav_mm}) AS BIGINT) AS path_mm,
+    CAST(SUM(CASE WHEN dy2 IS NOT NULL AND dx * dy2 - dy * dx2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_left,
+    CAST(SUM(CASE WHEN dy2 IS NOT NULL AND dx * dy2 - dy * dx2 < 0 THEN 1 ELSE 0 END) AS INT) AS n_right,
+    CAST(SUM(CASE WHEN dy2 IS NOT NULL AND dx * dy2 - dy * dx2 = 0 AND dx * dx2 + dy * dy2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_straight,
+    CAST(SUM(CASE WHEN dy2 IS NOT NULL AND dx * dy2 - dy * dx2 = 0 AND dx * dx2 + dy * dy2 < 0 THEN 1 ELSE 0 END) AS INT) AS n_reversals
+  FROM vv GROUP BY user_id)
+SELECT p.user_id, p.n_points,
+       COALESCE(v.n_left, 0) AS n_left,
+       COALESCE(v.n_right, 0) AS n_right,
+       COALESCE(v.n_straight, 0) AS n_straight,
+       COALESCE(v.n_reversals, 0) AS n_reversals,
+       COALESCE(v.path_mm, 0) AS path_mm,
+       {chord_mm} AS chord_mm
+FROM pstats p LEFT JOIN vstats v USING (user_id)
+"""
+
+
 # simplify fixture: four hand-derivable polylines at eps=0.8 degrees.
 # Expected outputs below are derived BY HAND (perpendicular distances
 # computed from the cross-product formula on paper), so the oracle is
@@ -4010,6 +4135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_customers": wrap(q_zonal_stats),
         "zone_geometry": wrap(q_zone_geometry),
         "polyfill_zones": wrap(q_polyfill_zones),
+        "shared_segments_events": wrap(q_shared_segments),
+        "trajectory_turns": wrap(q_trajectory_turns),
         "route_simplify": wrap(q_route_simplify),
         "hotspot_clusters_events": wrap(q_hotspot_clusters),
         "compact_cover": wrap(q_compact_cover),
@@ -4109,6 +4236,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_customers": _sql_zonal_stats(),
         "zone_geometry": _sql_zone_geometry(),
         "polyfill_zones": _sql_polyfill_zones(),
+        "shared_segments_events": SQL_SHARED_SEGMENTS,
+        "trajectory_turns": _sql_trajectory_turns(),
         "route_simplify": _sql_route_simplify(),
         "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
         "compact_cover": _sql_compact_cover(),

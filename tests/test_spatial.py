@@ -799,3 +799,77 @@ def test_cell_polyfill_map_only_plan(spark):
     )
     # polyfill is a pure generator+projection pipeline: zero shuffles
     assert "Exchange" not in plan
+
+
+def test_shared_segments_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.trajectory import shared_segments
+
+    # 20 trajectories over a 4x4 street grid — deterministic pseudo-walk
+    rows = []
+    for u in range(20):
+        gi, gj = u % 4, (u * 3) % 4
+        for t in range(10):
+            gi = (gi + (u + t) % 3 - 1) % 4
+            gj = (gj + (u * t) % 3 - 1) % 4
+            rows.append((u, t, 55.9 + gi * 0.001, -3.3 + gj * 0.001))
+    pts = spark.createDataFrame(rows, "u long, ts long, lat double, lon double")
+    got = {
+        (r.la1, r.lo1, r.la2, r.lo2): r.n_trajs
+        for r in shared_segments(pts, "u", ["ts"]).collect()
+    }
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for u, t, la, lo in sorted(rows):
+        per_user.setdefault(u, []).append((round(la * 1e6), round(lo * 1e6)))
+    counts: dict[tuple, int] = {}
+    for u, path in per_user.items():
+        segs = set()
+        for a, b in zip(path, path[1:]):
+            if a != b:
+                segs.add(tuple(min(a, b) + max(a, b)))
+        for s in segs:
+            counts[s] = counts.get(s, 0) + 1
+    want = {k: v for k, v in counts.items() if v >= 2}
+    assert got == want and len(want) > 5
+
+
+def test_turn_profile_hand_case(spark):
+    from osm_pt_validator_spark.spatial.trajectory import turn_profile
+
+    rows = [
+        # L-shaped walk: stationary ping (collapsed), right turn, reversal
+        (1, 1, 55.900, -3.300), (1, 2, 55.901, -3.300), (1, 3, 55.901, -3.300),
+        (1, 4, 55.902, -3.300), (1, 5, 55.902, -3.299), (1, 6, 55.902, -3.300),
+        # straight north walk
+        (2, 1, 55.902, -3.300), (2, 2, 55.901, -3.300), (2, 3, 55.900, -3.300),
+        # single point: zero-length path, no turns
+        (3, 1, 55.9, -3.3),
+    ]
+    pts = spark.createDataFrame(rows, "u long, ts long, lat double, lon double")
+    out = {r.u: r for r in turn_profile(pts, "u", ["ts"]).collect()}
+    r1 = out[1]
+    assert (r1.n_points, r1.n_left, r1.n_right, r1.n_straight, r1.n_reversals) == (
+        5, 0, 1, 1, 1
+    )
+    assert r1.path_mm > r1.chord_mm > 0
+    r2 = out[2]
+    assert (r2.n_points, r2.n_straight, r2.n_reversals) == (3, 1, 0)
+    assert r2.path_mm == r2.chord_mm  # straight line: tortuosity 1
+    r3 = out[3]
+    assert (r3.n_points, r3.path_mm, r3.chord_mm) == (1, 0, 0)
+
+
+def test_trajectory_single_shuffle_plan(spark):
+    from osm_pt_validator_spark.spatial.trajectory import turn_profile
+
+    pts = spark.createDataFrame(
+        [(1, 1, 55.9, -3.3)], "u long, ts long, lat double, lon double"
+    )
+    plan = (
+        turn_profile(pts, "u", ["ts"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ONE exchange (the traj_id groupBy); everything after is array algebra
+    assert plan.count("Exchange") == 1
