@@ -1905,6 +1905,38 @@ SELECT ngram, COUNT(*) AS n FROM g GROUP BY 1 HAVING COUNT(*) >= 3
 """
 
 
+def q_pmi_collocations(spark, sf):
+    """PMI collocation mining (operators/text.py:pmi_collocations):
+    ONE corpus scan emits (token, successor-or-NULL), so the pair-count
+    table doubles as the unigram multiset (sum-rollup) — unigrams, the
+    token total, and the PMI join all run vocabulary-bounded."""
+    from osm_pt_validator_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"), min_pair_count=5)
+
+
+def _sql_pmi_collocations() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT {toks} AS toks FROM documents),
+pr AS (
+  SELECT toks[i] AS w1, CASE WHEN i < len(toks) THEN toks[i + 1] END AS w2
+  FROM d, UNNEST(CASE WHEN len(toks) >= 1 THEN range(1, len(toks) + 1)
+                 ELSE [] END) AS t(i)),
+p AS (SELECT w1, w2, COUNT(*) AS pair_n FROM pr GROUP BY 1, 2),
+uni AS (SELECT w1 AS w, CAST(SUM(pair_n) AS BIGINT) AS c FROM p GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
+SELECT p.w1, p.w2, p.pair_n,
+  CAST(round(round(ln((CAST(p.pair_n AS DOUBLE) * n.n_tokens)
+    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) * 1e6) AS BIGINT) AS pmi_ppm
+FROM p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN n
+WHERE p.w2 IS NOT NULL AND p.pair_n >= 5
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-5 TF-IDF terms per document (smoothed idf, 6-dp tie
     stability)."""
@@ -4154,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": wrap(q_doc_stats),
         "doc_quality": wrap(q_doc_quality),
         "ngram_counts": wrap(q_ngram_counts),
+        "pmi_collocations": wrap(q_pmi_collocations),
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
         "dedup_kept": wrap(q_dedup_kept),
@@ -4304,6 +4337,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_prefilter": _sql_gap_prefilter(),
         "pip_contained": _sql_pip(),
         "ngram_counts": _sql_ngram_counts(),
+        "pmi_collocations": _sql_pmi_collocations(),
         "tfidf_top_terms": _sql_tfidf(),
         # golden VALUES oracles transcribed from the reference's test
         # expectations (the automaton itself is not SQL-expressible,

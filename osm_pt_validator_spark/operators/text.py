@@ -331,3 +331,69 @@ def scrub_documents(
         scrub_pii(t).alias("scrubbed_text"),
         *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
     )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    min_pair_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistical collocation mining: adjacent word pairs ranked by
+    pointwise mutual information, PMI = ln(P(ab) / (P(a)P(b))) — the
+    classic phrase detector for LM tokenizer/vocab prep.
+
+    ONE corpus scan: each token is emitted exactly once as
+    (w, successor-or-NULL) — the doc-final token pairs with NULL — so
+    the (w1, w2) count table is simultaneously the bigram table AND a
+    lossless unigram multiset: c(w) = SUM(pair_n) GROUP BY w1. Unigram
+    counts, the corpus token total, and the PMI join therefore all run
+    on the ALREADY-REDUCED pair table (vocabulary-bounded, persisted),
+    never re-scanning the corpus. The bigram groupBy combines map-side,
+    so the one big shuffle carries per-partition-distinct pairs.
+
+    PMI is rounded to 6 dp before the ppm quantization (same
+    cross-engine tie contract as tfidf_top_terms). Output:
+    (w1, w2, pair_n, pmi_ppm) for pairs seen >= min_pair_count times.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.size(toks)
+    succ = F.concat(
+        F.slice(toks, 2, F.greatest(m - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+    pairs_arr = F.when(
+        m > 0,
+        F.zip_with(
+            toks, succ, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pair_counts = (
+        documents.select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .persist()  # vocabulary-bounded; reused for unigrams AND bigrams
+    )
+    uni = pair_counts.groupBy("w1").agg(F.sum("pair_n").alias("c"))
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    big = pair_counts.filter(
+        F.col("w2").isNotNull() & (F.col("pair_n") >= min_pair_count)
+    )
+    ratio = (F.col("pair_n").cast("double") * F.col("n_tokens")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
+    return (
+        big.join(uni.select(F.col("w1"), F.col("c").alias("c1")), "w1")
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            F.round(F.round(F.log(ratio), 6) * 1e6)
+            .cast("long")
+            .alias("pmi_ppm"),
+        )
+    )

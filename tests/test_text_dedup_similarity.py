@@ -568,3 +568,51 @@ def test_resize_plan_real_headers_and_contract(spark):
     assert resize_plan(junk).count() == 1
     with _pytest.raises(Exception):
         resize_plan(junk, require_real=True).collect()
+
+
+def test_pmi_collocations_vs_python_oracle(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from osm_pt_validator_spark.operators.text import pmi_collocations
+
+    texts = [
+        (1, "new york city is big new york never sleeps"),
+        (2, "new york and new jersey share a river"),
+        (3, "the city the city the city"),
+        (4, ""),  # empty doc contributes nothing
+        (5, "one"),  # single token: unigram only, no pair
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.pair_n, r.pmi_ppm)
+        for r in pmi_collocations(docs, min_pair_count=2).collect()
+    }
+
+    uni: Counter = Counter()
+    pair: Counter = Counter()
+    for _, t in texts:
+        ts = [w for w in re.split(r"[^a-zA-Z0-9']+", t.lower()) if w]
+        uni.update(ts)
+        pair.update(zip(ts, ts[1:]))
+    n_tokens = sum(uni.values())
+    want = {
+        (a, b): (
+            n,
+            round(
+                round(
+                    math.log((float(n) * n_tokens) / (float(uni[a]) * uni[b])), 6
+                )
+                * 1e6
+            ),
+        )
+        for (a, b), n in pair.items()
+        if n >= 2
+    }
+    assert got == want and ("new", "york") in got
+    # the single-token doc's word must still count as a unigram:
+    # PMI of a pair involving it would shift if it were dropped —
+    # assert via corpus token total reconstructed from the operator's
+    # internals being consistent with the python count
+    assert n_tokens == 24
