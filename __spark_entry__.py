@@ -3261,6 +3261,41 @@ WHERE rk = 1
 """
 
 
+def q_blocklist_pages(spark, sf):
+    """Crawl blocklist filtering (crawl.blocklist_filter, broadcast
+    mode): dot-suffix domain matching as a map-side arrays_overlap
+    against one broadcast collect_set row — the corpus never
+    shuffles."""
+    from osm_pt_validator_spark.operators.crawl import blocklist_filter
+
+    p = _synth_crawl_pages(spark, sf)
+    blocked = spark.createDataFrame(
+        [("host1.example.org",), ("host4.example.org",)], "domain string"
+    )
+    return blocklist_filter(p, blocked).select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_BLOCKLIST_PAGES = f"""
+WITH {_SQL_CRAWL_PAGES},
+doms AS (
+  SELECT url, ts_epoch, text,
+    string_split(regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\\.', ''), ':\\d+$', ''), '.') AS labels
+  FROM pages)
+SELECT url, ts_epoch, CAST(len(text) AS BIGINT) AS n_chars
+FROM doms
+WHERE len(list_filter(
+        list_transform(range(1, len(labels) + 1),
+                       k -> array_to_string(labels[k:len(labels)], '.')),
+        s -> s IN ('host1.example.org', 'host4.example.org'))) = 0
+"""
+
+
 def q_crawl_changed(spark, sf):
     """Recrawl change detection (crawl.changed_pages): urls whose
     newest snapshot differs from the previous crawl."""
@@ -4198,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": wrap(q_doc_repetition),
         # crawl-level curation
         "crawl_latest": wrap(q_crawl_latest),
+        "blocklist_pages": wrap(q_blocklist_pages),
         "crawl_changed": wrap(q_crawl_changed),
         "domain_stats": wrap(q_domain_stats),
         "pii_scrub": wrap(q_pii_scrub),
@@ -4295,6 +4331,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _sql_pack_chunks(),
         "doc_repetition": _sql_doc_repetition(),
         "crawl_latest": SQL_CRAWL_LATEST,
+        "blocklist_pages": SQL_BLOCKLIST_PAGES,
         "crawl_changed": SQL_CRAWL_CHANGED,
         "domain_stats": SQL_DOMAIN_STATS,
         "pii_scrub": _sql_pii_scrub(),

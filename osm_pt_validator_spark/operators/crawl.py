@@ -185,3 +185,62 @@ def domain_stats(
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """All dot-suffixes of a domain, most-specific first:
+    'a.b.example.org' -> [a.b.example.org, b.example.org, example.org,
+    org]. Pure array algebra (split + per-k slice/join) — bounded by
+    label count, never by data volume."""
+    labels = F.split(domain, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.concat_ws(".", F.slice(labels, k, n)),
+    )
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Pages whose registrable domain matches NO blocklist entry —
+    suffix semantics: an entry 'spam.example' blocks 'a.spam.example'
+    too (the standard crawl-blocklist contract).
+
+    ``blocked`` is a one-column (``domain``) table. Two physical
+    shapes:
+
+    * ``broadcast`` (default): the blocklist collapses to ONE
+      collect_set row, broadcast, and the check is a map-side
+      ``arrays_overlap`` against each page's suffix array — ZERO
+      shuffle of the corpus, the right shape for the usual
+      10^3-10^6-entry blocklist.
+    * ``join``: for blocklists too big to hold in one broadcast row —
+      only the DISTINCT domain table (bounded by site count, not page
+      count) is suffix-exploded and semi-joined against the blocklist;
+      the corpus then anti-joins the small blocked-domain result.
+    """
+    dom = url_domain(F.col(url_col))
+    if mode == "broadcast":
+        bset = blocked.agg(F.collect_set("domain").alias("__blocked"))
+        return (
+            pages.crossJoin(F.broadcast(bset))
+            .filter(~F.arrays_overlap(domain_suffixes(dom), F.col("__blocked")))
+            .drop("__blocked")
+        )
+    if mode != "join":
+        raise ValueError(f"unknown mode: {mode!r}")
+    doms = pages.select(dom.alias("__dom")).distinct()
+    blocked_doms = (
+        doms.select(
+            "__dom",
+            F.explode(domain_suffixes(F.col("__dom"))).alias("__suf"),
+        )
+        .join(blocked.select(F.col("domain").alias("__suf")), "__suf", "left_semi")
+        .select("__dom")
+        .distinct()
+    )
+    return pages.join(blocked_doms, dom == F.col("__dom"), "left_anti")

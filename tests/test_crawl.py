@@ -227,3 +227,44 @@ def test_snapshot_upsert_single_exchange(spark):
     # union form never plans a join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_blocklist_filter_suffix_semantics_both_modes(spark):
+    from osm_pt_validator_spark.operators.crawl import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.spam.example/x"),  # blocked via parent suffix
+            (2, "https://spam.example/y"),  # blocked exactly
+            (3, "https://notspam.example/z"),  # label boundary: kept
+            (4, "https://www.ok.example:8080/w"),  # www+port stripped, kept
+            (5, "http://deep.a.spam.example/u"),  # two levels down: blocked
+            (6, "not a url at all"),  # no host -> kept (nothing to match)
+        ],
+        "id long, url string",
+    )
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    for mode in ("broadcast", "join"):
+        got = sorted(r.id for r in blocklist_filter(pages, blocked, mode=mode).collect())
+        assert got == [3, 4, 6], mode
+    # empty blocklist keeps everything (broadcast path: empty set row)
+    empty = spark.createDataFrame([], "domain string")
+    assert blocklist_filter(pages, empty).count() == 6
+
+
+def test_blocklist_filter_broadcast_is_shuffle_free(spark):
+    from osm_pt_validator_spark.operators.crawl import blocklist_filter
+
+    pages = spark.createDataFrame([(1, "https://x.example/a")], "id long, url string")
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    plan = (
+        blocklist_filter(pages, blocked)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must not shuffle: only the 1-row blocklist
+    # aggregate exchanges (its partial/final agg pair)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
