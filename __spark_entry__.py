@@ -2481,6 +2481,38 @@ FROM sims WHERE sim >= 0.35
 """
 
 
+def q_diverse_sample(spark, sf):
+    """Embedding-space-balanced subsample (operators/curation.py:
+    diverse_sample): 2^6 hyperplane-LSH buckets, 3 min-md5
+    representatives each — WindowGroupLimit prunes per map task before
+    the few-key shuffle."""
+    from osm_pt_validator_spark.operators.curation import diverse_sample
+
+    e = _t(spark, sf, "embeddings")
+    return diverse_sample(e, dim=64, per_bucket=3, num_planes=6)
+
+
+def _sql_diverse_sample() -> str:
+    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
+
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
+        for m, plane in enumerate(hyperplane_coeffs(64, 6))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (SELECT vec_id, {terms} AS bucket FROM e),
+r AS (
+  SELECT vec_id, bucket,
+    CAST(row_number() OVER (PARTITION BY bucket
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS INT) AS pick_rank
+  FROM b)
+SELECT vec_id, bucket, pick_rank FROM r WHERE pick_rank <= 3
+"""
+
+
 SQL_COSINE_PAIRS = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 sims AS (
@@ -4227,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept": wrap(q_dedup_kept),
         "corpus_curate": wrap(q_corpus_curate),
         "corpus_sample": wrap(q_corpus_sample),
+        "diverse_sample": wrap(q_diverse_sample),
         "corpus_split": wrap(q_corpus_split),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
@@ -4326,6 +4359,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_kept": SQL_DEDUP_KEPT,
         "corpus_curate": _sql_corpus_curate(),
         "corpus_sample": _sql_corpus_sample(),
+        "diverse_sample": _sql_diverse_sample(),
         "corpus_split": _sql_corpus_split(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),

@@ -311,3 +311,44 @@ def mixture_weights(
             ).alias("epoch_x100"),
         )
     )
+
+
+def diverse_sample(
+    embeddings: DataFrame,
+    dim: int,
+    per_bucket: int = 1,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space-balanced subsample: partition the corpus into
+    2^num_planes hyperplane-LSH buckets (regions of embedding space)
+    and keep ``per_bucket`` unbiased representatives per bucket —
+    coverage-preserving downsampling for training mixes, where naive
+    hash_sample would keep the dense clusters' redundancy and starve
+    the sparse tails.
+
+    Representatives are the smallest md5(id) per bucket, so the pick
+    is uniform within the bucket, deterministic, repartition-stable
+    and engine-replayable. 100 TB shape: the bucket is a map-side
+    projection (sin-literal hyperplanes, JVM fold — no Python); with
+    only 2^num_planes distinct keys the window shuffle would be a
+    256-reducer hotspot, but the row_number()<=N filter plans as
+    WindowGroupLimit, which prunes to per_bucket rows PER MAP TASK
+    before the exchange — the shuffle carries O(tasks * buckets *
+    per_bucket) rows, not the corpus (plan-asserted in tests).
+
+    Output: (id_col, bucket, pick_rank).
+    """
+    from osm_pt_validator_spark.operators.similarity import hyperplane_bucket
+
+    b = embeddings.select(
+        F.col(id_col),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return b.withColumn("pick_rank", F.row_number().over(w).cast("int")).filter(
+        F.col("pick_rank") <= per_bucket
+    )

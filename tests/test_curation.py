@@ -210,3 +210,49 @@ def test_mixture_weights_sqrt_temperature(spark):
     assert got["A"]["epoch_x100"] == 91
     # shares are floor-quantized: sum <= 1e6
     assert got["A"]["tempered_ppm"] + got["B"]["tempered_ppm"] <= 1000000
+
+
+def test_diverse_sample_one_per_bucket_and_plan(spark):
+    import hashlib
+
+    from osm_pt_validator_spark.operators.curation import diverse_sample
+    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
+
+    dim, planes = 8, 4
+    rows = [(i, [((i * 31 + d * 7) % 13) - 6.0 for d in range(dim)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_id, r.bucket, r.pick_rank)
+        for r in diverse_sample(e, dim=dim, per_bucket=2, num_planes=planes).collect()
+    }
+
+    coeffs = hyperplane_coeffs(dim, planes)
+
+    def bucket(v):
+        b = 0
+        for m, plane in enumerate(coeffs):
+            acc = 0.0
+            for x, c in zip(v, plane):
+                acc += x * c
+            if acc > 0:
+                b |= 1 << m
+        return b
+
+    by_bucket: dict[int, list[int]] = {}
+    for i, v in rows:
+        by_bucket.setdefault(bucket(v), []).append(i)
+    want = set()
+    for bk, ids in by_bucket.items():
+        picked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rk, i in enumerate(picked[:2], start=1):
+            want.add((i, bk, rk))
+    assert got == want and len(want) >= 8
+
+    plan = (
+        diverse_sample(e, dim=dim, per_bucket=2, num_planes=planes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the few-distinct-keys shuffle must be pruned map-side first
+    assert "WindowGroupLimit" in plan
