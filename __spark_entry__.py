@@ -852,6 +852,99 @@ def _sql_zone_geometry() -> str:
     return " UNION ALL ".join(rows)
 
 
+# segment fixtures: short customer/supplier segments with key-derived
+# headings so the two sets genuinely cross
+_SEG_D = 0.0008
+
+
+def _cust_segs(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    la, lo = _cust_lat(k), _cust_lon(k)
+    return c.select(
+        k.alias("cust_seg"),
+        la.alias("lat1"), lo.alias("lon1"),
+        (la + (((k * 7) % 5) - 2) * _SEG_D).alias("lat2"),
+        (lo + (((k * 11) % 5) - 2) * _SEG_D).alias("lon2"),
+    )
+
+
+def _supp_segs(spark, sf):
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+    la, lo = _supp_lat(k), _supp_lon(k)
+    return s.select(
+        k.alias("supp_seg"),
+        la.alias("lat1"), lo.alias("lon1"),
+        (la + (((k * 3) % 5) - 2) * _SEG_D).alias("lat2"),
+        (lo + (((k * 13) % 5) - 2) * _SEG_D).alias("lon2"),
+    )
+
+
+def q_segment_intersections(spark, sf):
+    """Segment-intersection join (spatial/intersect.py): bbox-cover
+    cell candidates (never a cartesian), min-shared-cell pair dedup as
+    a pure projection filter, exact integer four-orientation test with
+    collinear-touch handling on µdeg endpoints."""
+    from osm_pt_validator_spark.spatial.intersect import segment_intersection_join
+
+    return segment_intersection_join(
+        _cust_segs(spark, sf),
+        _supp_segs(spark, sf),
+        res=13,
+        left_id="cust_seg",
+        right_id="supp_seg",
+    )
+
+
+def _sql_segment_intersections() -> str:
+    def udeg(e: str) -> str:
+        return f"CAST(round(({e}) * 1e6) AS BIGINT)"
+
+    cust = f"""
+  SELECT c_custkey AS cust_seg,
+    {udeg(_SQL_CUST_LAT)} AS ly1, {udeg(_SQL_CUST_LON)} AS lx1,
+    {udeg(f"({_SQL_CUST_LAT}) + (((c_custkey * 7) % 5) - 2) * {_SEG_D!r}")} AS ly2,
+    {udeg(f"({_SQL_CUST_LON}) + (((c_custkey * 11) % 5) - 2) * {_SEG_D!r}")} AS lx2
+  FROM customer"""
+    supp = f"""
+  SELECT s_suppkey AS supp_seg,
+    {udeg(_SQL_SUPP_LAT)} AS ry1, {udeg(_SQL_SUPP_LON)} AS rx1,
+    {udeg(f"({_SQL_SUPP_LAT}) + (((s_suppkey * 3) % 5) - 2) * {_SEG_D!r}")} AS ry2,
+    {udeg(f"({_SQL_SUPP_LON}) + (((s_suppkey * 13) % 5) - 2) * {_SEG_D!r}")} AS rx2
+  FROM supplier"""
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return f"(({ax} - {ox}) * ({by} - {oy}) - ({ay} - {oy}) * ({bx} - {ox}))"
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return (
+            f"({px} >= LEAST({ax}, {bx}) AND {px} <= GREATEST({ax}, {bx})"
+            f" AND {py} >= LEAST({ay}, {by}) AND {py} <= GREATEST({ay}, {by}))"
+        )
+
+    d1 = cross("rx1", "ry1", "rx2", "ry2", "lx1", "ly1")
+    d2 = cross("rx1", "ry1", "rx2", "ry2", "lx2", "ly2")
+    d3 = cross("lx1", "ly1", "lx2", "ly2", "rx1", "ry1")
+    d4 = cross("lx1", "ly1", "lx2", "ly2", "rx2", "ry2")
+    proper = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    touch = (
+        f"(({d1} = 0 AND {on_seg('rx1','ry1','rx2','ry2','lx1','ly1')})"
+        f" OR ({d2} = 0 AND {on_seg('rx1','ry1','rx2','ry2','lx2','ly2')})"
+        f" OR ({d3} = 0 AND {on_seg('lx1','ly1','lx2','ly2','rx1','ry1')})"
+        f" OR ({d4} = 0 AND {on_seg('lx1','ly1','lx2','ly2','rx2','ry2')}))"
+    )
+    return f"""
+WITH c AS ({cust}), s AS ({supp})
+SELECT c.cust_seg AS cust_seg_l, s.supp_seg AS supp_seg_r
+FROM c CROSS JOIN s
+WHERE {proper} OR {touch}
+"""
+
+
 POLYFILL_RES = 15
 
 
@@ -4234,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_customers": wrap(q_zonal_stats),
         "zone_geometry": wrap(q_zone_geometry),
         "polyfill_zones": wrap(q_polyfill_zones),
+        "segment_intersections": wrap(q_segment_intersections),
         "shared_segments_events": wrap(q_shared_segments),
         "trajectory_turns": wrap(q_trajectory_turns),
         "route_simplify": wrap(q_route_simplify),
@@ -4338,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_customers": _sql_zonal_stats(),
         "zone_geometry": _sql_zone_geometry(),
         "polyfill_zones": _sql_polyfill_zones(),
+        "segment_intersections": _sql_segment_intersections(),
         "shared_segments_events": SQL_SHARED_SEGMENTS,
         "trajectory_turns": _sql_trajectory_turns(),
         "route_simplify": _sql_route_simplify(),

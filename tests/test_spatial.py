@@ -873,3 +873,102 @@ def test_trajectory_single_shuffle_plan(spark):
     )
     # ONE exchange (the traj_id groupBy); everything after is array algebra
     assert plan.count("Exchange") == 1
+
+
+def test_segment_intersection_vs_brute_python(spark):
+    import itertools
+
+    from osm_pt_validator_spark.spatial.intersect import segment_intersection_join
+
+    def mksegs(n, mula, mulb, base):
+        out = []
+        for i in range(n):
+            la = 55.9 + ((i * mula) % 89) * 0.001
+            lo = -3.3 + ((i * mulb) % 97) * 0.001
+            dla = (((i * 7) % 5) - 2) * 0.0008
+            dlo = (((i * 11) % 5) - 2) * 0.0008
+            out.append((base + i, la, lo, la + dla, lo + dlo))
+        return out
+
+    A, B = mksegs(150, 13, 29, 0), mksegs(80, 17, 23, 1000)
+    schema = "seg_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    a, b = spark.createDataFrame(A, schema), spark.createDataFrame(B, schema)
+    got = sorted(tuple(r) for r in segment_intersection_join(a, b, res=13).collect())
+
+    def q(v):
+        return round(v * 1e6)
+
+    def crossp(o, p, r):
+        return (p[0] - o[0]) * (r[1] - o[1]) - (p[1] - o[1]) * (r[0] - o[0])
+
+    def on_seg(p, r, x):
+        return (
+            min(p[0], r[0]) <= x[0] <= max(p[0], r[0])
+            and min(p[1], r[1]) <= x[1] <= max(p[1], r[1])
+        )
+
+    def inter(s, t):
+        p1 = (q(s[2]), q(s[1]))
+        p2 = (q(s[4]), q(s[3]))
+        q1 = (q(t[2]), q(t[1]))
+        q2 = (q(t[4]), q(t[3]))
+        d1, d2 = crossp(q1, q2, p1), crossp(q1, q2, p2)
+        d3, d4 = crossp(p1, p2, q1), crossp(p1, p2, q2)
+        if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0) and (
+            (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+        ):
+            return True
+        return (
+            (d1 == 0 and on_seg(q1, q2, p1))
+            or (d2 == 0 and on_seg(q1, q2, p2))
+            or (d3 == 0 and on_seg(p1, p2, q1))
+            or (d4 == 0 and on_seg(p1, p2, q2))
+        )
+
+    want = sorted((s[0], t[0]) for s, t in itertools.product(A, B) if inter(s, t))
+    assert got == want and len(want) >= 5
+    # coarser res (bigger cells, more candidates, fewer cover cells)
+    # must give identical output — candidate generation is res-invariant
+    got12 = sorted(
+        tuple(r) for r in segment_intersection_join(a, b, res=12).collect()
+    )
+    assert got12 == want
+
+
+def test_segment_intersection_touch_and_collinear_cases(spark):
+    from osm_pt_validator_spark.spatial.intersect import segment_intersection_join
+
+    schema = "seg_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    a = spark.createDataFrame(
+        [
+            (1, 55.900, -3.300, 55.910, -3.300),  # vertical
+            (2, 55.905, -3.310, 55.905, -3.290),  # horizontal: proper cross w/1
+            (3, 55.920, -3.300, 55.930, -3.300),  # collinear with 1, disjoint
+            (4, 55.910, -3.300, 55.915, -3.295),  # endpoint-touches 1
+        ],
+        schema,
+    )
+    got = sorted(
+        tuple(r)
+        for r in segment_intersection_join(a, a, res=13, left_id="seg_id", right_id="seg_id").collect()
+    )
+    pairs = {(l, r) for l, r in got if l < r}
+    assert (1, 2) in pairs  # proper crossing
+    assert (1, 4) in pairs  # endpoint touch counts
+    assert (1, 3) not in pairs  # collinear but disjoint
+    # every segment intersects itself (self-join sanity)
+    assert all((i, i) in got for i in (1, 2, 3, 4))
+
+
+def test_segment_intersection_no_cartesian_plan(spark):
+    from osm_pt_validator_spark.spatial.intersect import segment_intersection_join
+
+    schema = "seg_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    a = spark.createDataFrame([(1, 55.9, -3.3, 55.91, -3.29)], schema)
+    plan = (
+        segment_intersection_join(a, a, res=13)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
