@@ -3661,6 +3661,26 @@ FROM hl, UNNEST(CASE WHEN len(hs) >= 4
 # --- mergeable sketches (operators/sketches.py) -----------------------------
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count sketch (sketches.hll_distinct):
+    distinct users per event type from 2^10 registers — the mergeable
+    max-register form, with the harmonic sum computed as an EXACT
+    integer (order-independent), and the linear-counting small-range
+    correction."""
+    from osm_pt_validator_spark.operators.sketches import hll_distinct
+
+    e = _t(spark, sf, "events")
+    return hll_distinct(e, ["event_type"], F.col("user_id").cast("string"), p=10)
+
+
+def _sql_hll_distinct() -> str:
+    from osm_pt_validator_spark.operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "events", "event_type", "CAST(user_id AS VARCHAR)", p=10
+    )
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (sketches.kmv_distinct): estimated
     distinct users per event type from the 64 minimum md5-derived
@@ -4368,6 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": wrap(q_winnow_fps),
         # mergeable sketches (operators/sketches.py)
         "kmv_distinct_users": wrap(q_kmv_distinct),
+        "hll_distinct_users": wrap(q_hll_distinct),
         "bloom_prune_events": wrap(q_bloom_prune),
         "inverted_index": wrap(q_inverted_index),
         "value_quantiles": wrap(q_value_quantiles),
@@ -4467,6 +4488,7 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup": _sql_para_dedup(),
         "winnow_fps": _sql_winnow_fps(),
         "kmv_distinct_users": _sql_kmv_distinct(),
+        "hll_distinct_users": _sql_hll_distinct(),
         "bloom_prune_events": _sql_bloom_prune(),
         "inverted_index": _sql_inverted_index(),
         "value_quantiles": _sql_value_quantiles(),

@@ -221,3 +221,59 @@ def test_exact_group_median_excludes_nulls(spark):
     # NULLs excluded: median of {1,2} is 1.5 -> median_x2 = 3, n = 2;
     # an all-NULL group disappears (no non-null values to rank)
     assert got == {"g": (2, 3)}
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from osm_pt_validator_spark.operators.sketches import hll_distinct
+
+    df = spark.range(6000).select(
+        F.when(F.col("id") < 100, "small").otherwise("big").alias("g"),
+        F.when(F.col("id") < 100, (F.col("id") % 40))
+        .otherwise(F.col("id") % 2500)
+        .cast("string")
+        .alias("v"),
+    )
+    out = {r.g: r for r in hll_distinct(df, ["g"], F.col("v"), p=10).collect()}
+    # small group rides the linear-counting correction (many zero regs)
+    assert abs(out["small"].hll_est_x100 / 100.0 - 40) / 40 < 0.15
+    assert out["small"].n_zero > 900
+    # big group: standard error 1.04/sqrt(1024) = 3.3%; allow 4 sigma
+    assert abs(out["big"].hll_est_x100 / 100.0 - 2500) / 2500 < 0.14
+
+
+def test_hll_matches_duckdb_replay(spark, tmp_path):
+    import duckdb
+
+    from osm_pt_validator_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_sql,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 700).cast("string").alias("v"),
+    )
+    pq = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(
+        (r.g, r.n_zero, r.hll_est_x100)
+        for r in hll_distinct(df, ["g"], F.col("v"), p=10).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(tuple(r) for r in con.sql(hll_distinct_sql("t", "g", "v", p=10)).fetchall())
+    assert got == want
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability: the sketch of A UNION B equals folding the union —
+    computing on two halves and max-merging registers gives the same
+    estimate as one pass (here asserted end-to-end: estimate over the
+    union is identical whichever partitioning produced the registers)."""
+    from osm_pt_validator_spark.operators.sketches import hll_distinct
+
+    a = spark.range(0, 1500).select(F.lit("g").alias("g"), (F.col("id") % 900).cast("string").alias("v"))
+    b = spark.range(700, 2400).select(F.lit("g").alias("g"), (F.col("id") % 900).cast("string").alias("v"))
+    whole = hll_distinct(a.union(b), ["g"], F.col("v"), p=8).collect()[0]
+    repart = hll_distinct(a.union(b).repartition(13), ["g"], F.col("v"), p=8).collect()[0]
+    assert (whole.n_zero, whole.hll_est_x100) == (repart.n_zero, repart.hll_est_x100)
