@@ -852,6 +852,108 @@ def _sql_zone_geometry() -> str:
     return " UNION ALL ".join(rows)
 
 
+def q_stop_geometry_order(spark, sf):
+    """Geometric stop-order audit (spatial/proximity.py:
+    stop_geometry_order): linear-reference each stop to mm chainage
+    along its route polyline (min(struct) partial agg — one shuffle row
+    per stop), then flag stops whose member order would force the
+    route to double back. The set-based generalization of the
+    reference's per-relation stop-order scan."""
+    from osm_pt_validator_spark.spatial.proximity import (
+        segments_from_polylines,
+        stop_geometry_order,
+    )
+
+    sv = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("route_id"),
+        F.col("s_suppkey").alias("seq"),
+        _supp_lat(F.col("s_suppkey")).alias("lat"),
+        _supp_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    segs = segments_from_polylines(sv, "route_id", "seq")
+    st = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("route_id"),
+        "c_custkey",
+        F.col("c_custkey").alias("mseq"),
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return stop_geometry_order(
+        st, segs, route_key="route_id", stop_key="c_custkey", seq_col="mseq"
+    )
+
+
+def _sql_stop_geometry_order() -> str:
+    return f"""
+WITH sv AS (
+  SELECT s_nationkey AS route_id, s_suppkey AS seq,
+         {_SQL_SUPP_LAT} AS lat, {_SQL_SUPP_LON} AS lon
+  FROM supplier
+),
+seg AS (
+  SELECT route_id, seq AS seg_idx, lat AS lat1, lon AS lon1,
+         lead(lat) OVER (PARTITION BY route_id ORDER BY seq) AS lat2,
+         lead(lon) OVER (PARTITION BY route_id ORDER BY seq) AS lon2
+  FROM sv
+),
+seg2 AS (
+  SELECT route_id, seg_idx, lat1, lon1, lat2, lon2,
+    CAST(round(sqrt(
+      (radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0)
+        * (radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0)
+      + (radians(lat2 - lat1) * 6371000.0)
+        * (radians(lat2 - lat1) * 6371000.0)) * 1000.0) AS BIGINT) AS len_mm
+  FROM seg WHERE lat2 IS NOT NULL
+),
+seg3 AS (
+  SELECT *, CAST(COALESCE(SUM(len_mm) OVER (PARTITION BY route_id ORDER BY seg_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chain0_mm
+  FROM seg2
+),
+st AS (
+  SELECT c_nationkey AS route_id, c_custkey, c_custkey AS mseq,
+         {_SQL_CUST_LAT} AS plat, {_SQL_CUST_LON} AS plon
+  FROM customer
+),
+proj AS (
+  SELECT st.route_id, st.c_custkey, st.mseq, seg3.seg_idx, seg3.chain0_mm,
+    radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0 AS bx,
+    radians(lat2 - lat1) * 6371000.0 AS by,
+    radians(plon - lon1) * cos(radians(lat1)) * 6371000.0 AS px,
+    radians(plat - lat1) * 6371000.0 AS py
+  FROM st JOIN seg3 ON st.route_id = seg3.route_id
+),
+tt AS (
+  SELECT route_id, c_custkey, mseq, seg_idx, chain0_mm, bx, by, px, py,
+    greatest(0.0, least(1.0, CASE WHEN (bx * bx + by * by) > 0.0
+      THEN (px * bx + py * by) / (bx * bx + by * by) ELSE 0.0 END)) AS t
+  FROM proj
+),
+cand AS (
+  SELECT route_id, c_custkey, mseq,
+    CAST(round({_SQL_PROX_D} * 1000.0) AS BIGINT) AS dist_mm,
+    seg_idx,
+    chain0_mm + CAST(round(t * sqrt(bx * bx + by * by) * 1000.0) AS BIGINT)
+      AS chainage_mm
+  FROM tt
+),
+best AS (
+  SELECT route_id, c_custkey, mseq, dist_mm, seg_idx, chainage_mm,
+    row_number() OVER (PARTITION BY route_id, c_custkey
+      ORDER BY dist_mm, seg_idx, chainage_mm) AS rk
+  FROM cand
+),
+ref AS (SELECT route_id, c_custkey, mseq, dist_mm, chainage_mm
+        FROM best WHERE rk = 1)
+SELECT route_id, c_custkey, mseq AS seq, dist_mm, chainage_mm,
+  CAST(CASE WHEN chainage_mm < COALESCE(
+      MAX(chainage_mm) OVER (PARTITION BY route_id ORDER BY mseq, c_custkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    THEN 1 ELSE 0 END AS INT) AS out_of_order
+FROM ref
+"""
+
+
 # segment fixtures: short customer/supplier segments with key-derived
 # headings so the two sets genuinely cross
 _SEG_D = 0.0008
@@ -4356,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_heatmap_customers": wrap(q_tile_heatmap_customers),
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "stop_route_proximity": wrap(q_stop_route_proximity),
+        "stop_geometry_order": wrap(q_stop_geometry_order),
         "decontaminate": wrap(q_decontaminate),
         "incremental_workset": wrap(q_incremental_workset),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
@@ -4462,6 +4565,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_heatmap_customers": SQL_TILE_HEATMAP,
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,
+        "stop_geometry_order": _sql_stop_geometry_order(),
         "decontaminate": SQL_DECONTAMINATE,
         "incremental_workset": SQL_INCREMENTAL_WORKSET,
         "tile_vector_bboxes": _sql_tile_vector(),

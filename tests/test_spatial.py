@@ -972,3 +972,71 @@ def test_segment_intersection_no_cartesian_plan(spark):
         .toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_linear_reference_and_stop_order_hand_case(spark):
+    from osm_pt_validator_spark.spatial.proximity import (
+        linear_reference,
+        segments_from_polylines,
+        stop_geometry_order,
+    )
+
+    # straight east route along lat 55.9, 4 vertices 0.001 deg apart
+    verts = [(1, i, 55.9, -3.3 + i * 0.001) for i in range(4)]
+    vdf = spark.createDataFrame(verts, "route_id long, seq long, lat double, lon double")
+    segs = segments_from_polylines(vdf, "route_id", "seq")
+    stops = spark.createDataFrame(
+        [
+            (1, 101, 1, 55.9001, -3.29985),  # ~9 m along
+            (1, 102, 2, 55.9001, -3.2976),  # ~150 m along
+            (1, 103, 3, 55.9001, -3.29855),  # ~90 m: doubles back
+            (1, 104, 4, 55.8999, -3.29725),  # ~171 m along
+        ],
+        "route_id long, stop_id long, mseq long, lat double, lon double",
+    )
+    ref = {
+        r.stop_id: r
+        for r in linear_reference(
+            stops, segs, "route_id", "stop_id", carry_cols=["mseq"]
+        ).collect()
+    }
+    # chainage is monotone in true along-position and lands on the
+    # right segment (62.3 m per segment)
+    assert ref[101].seg_idx == 0 and 8_000 < ref[101].chainage_mm < 11_000
+    assert ref[102].seg_idx == 2 and 148_000 < ref[102].chainage_mm < 151_000
+    assert ref[103].seg_idx == 1 and 89_000 < ref[103].chainage_mm < 92_000
+    # all stops are 0.0001 deg off the line: ~11.1 m
+    assert all(11_000 < r.dist_mm < 11_300 for r in ref.values())
+
+    order = {
+        r.stop_id: r.out_of_order
+        for r in stop_geometry_order(
+            stops, segs, "route_id", "stop_id", "mseq"
+        ).collect()
+    }
+    assert order == {101: 0, 102: 0, 103: 1, 104: 0}
+
+
+def test_linear_reference_partial_agg_plan(spark):
+    from osm_pt_validator_spark.spatial.proximity import (
+        linear_reference,
+        segments_from_polylines,
+    )
+
+    verts = [(1, i, 55.9, -3.3 + i * 0.001) for i in range(3)]
+    vdf = spark.createDataFrame(verts, "route_id long, seq long, lat double, lon double")
+    stops = spark.createDataFrame(
+        [(1, 9, 55.9, -3.2995)], "route_id long, stop_id long, lat double, lon double"
+    )
+    plan = (
+        linear_reference(
+            stops, segments_from_polylines(vdf, "route_id", "seq"),
+            "route_id", "stop_id",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # min(struct) must partial-aggregate (HashAggregate pair), never a
+    # rank window over all candidate segments
+    assert "partial_min" in plan or "partial_first" in plan
