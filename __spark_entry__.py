@@ -3783,6 +3783,37 @@ def _sql_hll_distinct() -> str:
     )
 
 
+def q_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (curation.weighted_sample,
+    Efraimidis-Spirakis): md5-derived u, priority -ln(u)/w quantized to
+    ppb BEFORE ranking (cross-engine ulp absorb), per-source top-k via
+    WindowGroupLimit. Weight = doc length: the materialization step of
+    a temperature-weighted training mix."""
+    from osm_pt_validator_spark.operators.curation import weighted_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(
+        d, 25, F.col("n_chars"), group_cols=["source"], key_col="doc_id"
+    )
+
+
+def _sql_weighted_sample() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+    CAST(round((-ln((('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        / CAST(1152921504606846976 AS DOUBLE))
+      / CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT) AS priority_ppb
+  FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      ORDER BY priority_ppb ASC, doc_id ASC) AS INT) AS sample_rank
+  FROM base)
+SELECT doc_id, source, n_chars, priority_ppb, sample_rank
+FROM r WHERE sample_rank <= 25
+"""
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketch (sketches.kmv_distinct): estimated
     distinct users per event type from the 64 minimum md5-derived
@@ -4476,6 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept": wrap(q_dedup_kept),
         "corpus_curate": wrap(q_corpus_curate),
         "corpus_sample": wrap(q_corpus_sample),
+        "weighted_sample": wrap(q_weighted_sample),
         "diverse_sample": wrap(q_diverse_sample),
         "corpus_split": wrap(q_corpus_split),
         "lang_quota": wrap(q_lang_quota),
@@ -4579,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_kept": SQL_DEDUP_KEPT,
         "corpus_curate": _sql_corpus_curate(),
         "corpus_sample": _sql_corpus_sample(),
+        "weighted_sample": _sql_weighted_sample(),
         "diverse_sample": _sql_diverse_sample(),
         "corpus_split": _sql_corpus_split(),
         "lang_quota": _sql_lang_quota(),

@@ -352,3 +352,60 @@ def diverse_sample(
     return b.withColumn("pick_rank", F.row_number().over(w).cast("int")).filter(
         F.col("pick_rank") <= per_bucket
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    group_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group
+    (Efraimidis-Spirakis A-ES): each row draws priority
+    -ln(u)/w with u = md5(key)/2^60 in (0,1], and the k SMALLEST
+    priorities win — inclusion probability proportional to weight,
+    exactly the draw a temperature-weighted training mix
+    (mixture_weights) needs to materialize.
+
+    Deterministic and repartition-stable: u comes from the
+    engine-neutral md5 hash, so the same (key, weight) always draws
+    the same priority, and re-runs/resumes pick identical rows (the
+    reason this is NOT rand()-based). Non-positive weights are
+    excluded (they'd win never / always degenerately).
+
+    100 TB shape: priority is a map-side projection; the per-group
+    top-k is row_number <= k, which plans as WindowGroupLimit — each
+    map task forwards at most k rows per group to the exchange.
+
+    Output: input columns + (priority_ppb LONG, sample_rank INT).
+    The RANKING uses the ppb-quantized priority (ties broken by key):
+    quantize-before-rank absorbs last-ulp ln() differences between
+    engines — the same cross-engine tie contract as tfidf_top_terms.
+    """
+    from osm_pt_validator_spark.functions.hashing import md5_i64
+
+    groups = list(group_cols or [])
+    u = md5_i64(F.col(key_col).cast("string"), "wsample").cast("double") / F.lit(
+        float(1 << 60)
+    )
+    pri = F.round((-F.log(u) / weight.cast("double")) * 1e9).cast("long")
+    base = df.filter(weight > 0).withColumn("__pri", pri)
+    w = (
+        Window.partitionBy(*groups).orderBy(
+            F.col("__pri").asc(), F.col(key_col).asc()
+        )
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy(
+            F.col("__pri").asc(), F.col(key_col).asc()
+        )
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            *df.columns,
+            F.col("__pri").alias("priority_ppb"),
+            "sample_rank",
+        )
+    )

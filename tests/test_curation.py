@@ -256,3 +256,33 @@ def test_diverse_sample_one_per_bucket_and_plan(spark):
     )
     # the few-distinct-keys shuffle must be pruned map-side first
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_proportional_deterministic_plan(spark):
+    from osm_pt_validator_spark.operators.curation import weighted_sample
+
+    rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(20000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, 2000, F.col("w"))
+    picked = out.collect()
+    assert len(picked) == 2000
+    assert {r.sample_rank for r in picked} == set(range(1, 2001))
+    heavy = sum(1 for r in picked if r.w == 9.0) / 2000
+    # inclusion ∝ weight: 0.9 expected, wide deterministic tolerance
+    assert 0.84 < heavy < 0.95
+    # repartition-stable kept set
+    again = weighted_sample(df.repartition(13), 2000, F.col("w")).collect()
+    assert sorted(r.doc_id for r in picked) == sorted(r.doc_id for r in again)
+    # zero/negative weights excluded
+    dfz = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double"
+    )
+    assert [r.doc_id for r in weighted_sample(dfz, 3, F.col("w")).collect()] == [3]
+    # per-group top-k plans as WindowGroupLimit (map-side prune)
+    plan = (
+        weighted_sample(df, 5, F.col("w"), group_cols=["w"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
