@@ -3763,6 +3763,56 @@ FROM hl, UNNEST(CASE WHEN len(hs) >= 4
 # --- mergeable sketches (operators/sketches.py) -----------------------------
 
 
+def q_cms_user_counts(spark, sf):
+    """Count-Min frequency digest + point lookups (sketches.cms_digest
+    / cms_lookup): exact integer counters over md5-derived positions —
+    mergeable by counter summation; estimates never undercount.
+    Probes: users 0..49 per event type."""
+    from osm_pt_validator_spark.operators.sketches import cms_digest, cms_lookup
+
+    e = _t(spark, sf, "events")
+    dig = cms_digest(
+        e, ["event_type"], F.col("user_id").cast("string"), depth=3, width=256
+    )
+    probes = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(50).select(F.col("id").cast("string").alias("uid")))
+    )
+    return cms_lookup(
+        dig, probes, ["event_type"], F.col("uid"), depth=3, width=256
+    ).select("event_type", "probe", "est_count")
+
+
+def _sql_cms_user_counts() -> str:
+    def h(d: int, expr: str) -> str:
+        return f"(('0x' || substr(md5('cms{d}|' || {expr}), 1, 15))::BIGINT & 255)"
+
+    pos_rows = " UNION ALL ".join(
+        f"SELECT event_type, {d} AS d, {h(d, 'CAST(user_id AS VARCHAR)')} AS idx FROM events"
+        for d in range(3)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT event_type, probe, {d} AS d, {h(d, 'probe')} AS idx FROM probes"
+        for d in range(3)
+    )
+    return f"""
+WITH dig AS (
+  SELECT event_type, d, idx, COUNT(*) AS counter FROM ({pos_rows}) GROUP BY 1, 2, 3),
+probes AS (
+  SELECT DISTINCT e.event_type, CAST(r.range AS VARCHAR) AS probe
+  FROM events e CROSS JOIN range(0, 50) r),
+pp AS ({probe_pos}),
+j AS (
+  SELECT pp.event_type, pp.probe,
+         COALESCE(dig.counter, 0) AS c
+  FROM pp LEFT JOIN dig
+    ON pp.event_type = dig.event_type AND pp.d = dig.d AND pp.idx = dig.idx)
+SELECT event_type, probe, CAST(MIN(c) AS BIGINT) AS est_count
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_hll_distinct(spark, sf):
     """HyperLogLog distinct-count sketch (sketches.hll_distinct):
     distinct users per event type from 2^10 registers — the mergeable
@@ -4524,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable sketches (operators/sketches.py)
         "kmv_distinct_users": wrap(q_kmv_distinct),
         "hll_distinct_users": wrap(q_hll_distinct),
+        "cms_user_counts": wrap(q_cms_user_counts),
         "bloom_prune_events": wrap(q_bloom_prune),
         "inverted_index": wrap(q_inverted_index),
         "value_quantiles": wrap(q_value_quantiles),
@@ -4626,6 +4677,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _sql_winnow_fps(),
         "kmv_distinct_users": _sql_kmv_distinct(),
         "hll_distinct_users": _sql_hll_distinct(),
+        "cms_user_counts": _sql_cms_user_counts(),
         "bloom_prune_events": _sql_bloom_prune(),
         "inverted_index": _sql_inverted_index(),
         "value_quantiles": _sql_value_quantiles(),

@@ -524,3 +524,87 @@ SELECT g AS {group_expr}, n_zero,
     ELSE raw END) * 100) AS BIGINT) AS hll_est_x100
 FROM est
 """
+
+
+# --- Count-Min sketch -------------------------------------------------------
+#
+# The mergeable FREQUENCY digest (Cormode-Muthukrishnan), completing
+# the family: Bloom answers membership, KMV/HLL answer cardinality,
+# CMS answers "how often" — with a one-sided guarantee (estimate >=
+# truth; overshoot <= eps * total with prob 1 - delta for width =
+# ceil(e/eps), depth = ceil(ln(1/delta))). Counters are exact integer
+# sums over md5-derived row positions, so digests from different
+# partitions / days merge by summing counters, and a DuckDB oracle
+# replays them bit-for-bit.
+
+
+def cms_digest(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group Count-Min digest: one row per (group, d, idx) holding
+    the exact counter — the sparse form (zero counters absent), which
+    at corpus scale is ONE map-side-combining groupBy whose key space
+    is bounded by depth * width per group, never by the data.
+    """
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    rows = []
+    for d in range(depth):
+        rows.append(
+            F.struct(
+                F.lit(d).alias("d"),
+                md5_i64(value, salt=f"cms{d}|")
+                .bitwiseAND(F.lit(width - 1))
+                .alias("idx"),
+            )
+        )
+    return (
+        df.select(*group_cols, F.explode(F.array(*rows)).alias("__p"))
+        .groupBy(*group_cols, F.col("__p.d").alias("d"), F.col("__p.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_lookup(
+    digest: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    probe_value: Column,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates: min over the depth counters at each
+    probe's hashed positions. Estimates NEVER undercount; collisions
+    only inflate. Missing counters read as 0 (sparse digest).
+
+    Probes broadcast against the bounded digest; the min over d is a
+    map-side partial aggregate. Output: probes' group_cols +
+    (probe, est_count).
+    """
+    pos = []
+    for d in range(depth):
+        pos.append(
+            F.struct(
+                F.lit(d).alias("d"),
+                md5_i64(probe_value, salt=f"cms{d}|")
+                .bitwiseAND(F.lit(width - 1))
+                .alias("idx"),
+            )
+        )
+    p = probes.select(
+        *group_cols,
+        probe_value.alias("probe"),
+        F.explode(F.array(*pos)).alias("__p"),
+    ).select(*group_cols, "probe", F.col("__p.d").alias("d"), F.col("__p.idx").alias("idx"))
+    joined = p.join(digest, [*group_cols, "d", "idx"], "left").select(
+        *group_cols,
+        "probe",
+        F.coalesce(F.col("counter"), F.lit(0).cast("long")).alias("__c"),
+    )
+    return joined.groupBy(*group_cols, "probe").agg(
+        F.min("__c").alias("est_count")
+    )

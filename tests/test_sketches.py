@@ -277,3 +277,41 @@ def test_hll_registers_merge_by_max(spark):
     whole = hll_distinct(a.union(b), ["g"], F.col("v"), p=8).collect()[0]
     repart = hll_distinct(a.union(b).repartition(13), ["g"], F.col("v"), p=8).collect()[0]
     assert (whole.n_zero, whole.hll_est_x100) == (repart.n_zero, repart.hll_est_x100)
+
+
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    from osm_pt_validator_spark.operators.sketches import cms_digest, cms_lookup
+
+    # zipf-ish: value v appears v times; width 64 forces collisions so
+    # some estimates genuinely overshoot — the one-sided guarantee
+    rows = [(f"v{v}",) for v in range(1, 120) for _ in range(v)]
+    df = spark.createDataFrame(rows, "v string").withColumn("g", F.lit("g"))
+    dig = cms_digest(df, ["g"], F.col("v"), depth=3, width=64)
+    probes = spark.createDataFrame(
+        [(f"v{v}",) for v in range(1, 120)] + [("absent",)], "v string"
+    ).withColumn("g", F.lit("g"))
+    out = {
+        r.probe: r.est_count
+        for r in cms_lookup(dig, probes, ["g"], F.col("v"), depth=3, width=64).collect()
+    }
+    total = sum(range(1, 120))
+    overshoots = 0
+    for v in range(1, 120):
+        est, truth = out[f"v{v}"], v
+        assert est >= truth  # NEVER undercounts
+        assert est - truth <= total  # trivially bounded
+        overshoots += est > truth
+    assert overshoots > 0  # width 64 must actually collide
+    # mergeability: digest(A ∪ B) == digest(A) + digest(B) counter-wise
+    a = spark.createDataFrame(rows[: len(rows) // 2], "v string").withColumn("g", F.lit("g"))
+    b = spark.createDataFrame(rows[len(rows) // 2 :], "v string").withColumn("g", F.lit("g"))
+    da = cms_digest(a, ["g"], F.col("v"), depth=3, width=64)
+    db = cms_digest(b, ["g"], F.col("v"), depth=3, width=64)
+    merged = (
+        da.unionByName(db)
+        .groupBy("g", "d", "idx")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    whole = {(r.d, r.idx): r.counter for r in dig.collect()}
+    got = {(r.d, r.idx): r.counter for r in merged.collect()}
+    assert got == whole
