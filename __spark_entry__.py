@@ -1383,6 +1383,41 @@ GROUP BY ROLLUP (order_year, o_orderpriority)
 """
 
 
+def q_events_cube(spark, sf):
+    """Full CUBE grouping sets: event counts + value sums at every
+    subset of (event_type, hour-of-day) — all four lattice levels in
+    ONE aggregation pass (the cube complement of q_orders_rollup's
+    rollup and q_events_daily_pivot's pivot)."""
+    e = _t(spark, sf, "events")
+    cubed = e.cube(
+        F.col("event_type"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_c"),
+        F.grouping_id().alias("gid"),
+    )
+    return cubed.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("hod", F.lit(-1)).alias("hod"),
+        "n",
+        "value_c",
+        "gid",
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+  COALESCE(hod, -1) AS hod,
+  COUNT(*) AS n,
+  CAST(SUM(value_c) AS BIGINT) AS value_c,
+  CAST(GROUPING(event_type) * 2 + GROUPING(hod) AS BIGINT) AS gid
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events)
+GROUP BY CUBE (event_type, hod)
+"""
+
+
 def q_event_props_stats(spark, sf):
     """Semi-structured extraction: the events `props` column is a JSON
     string; parse it JVM-side (from_json with an explicit schema — no
@@ -4517,6 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": wrap(q_event_props_stats),
         "events_daily_pivot": wrap(q_events_daily_pivot),
         "orders_rollup": wrap(q_orders_rollup),
+        "events_cube": wrap(q_events_cube),
         # validator family (SURVEY §2.2-2.4, §2.7)
         "v_tags": wrap(q_v_tags),
         "v_member_order": wrap(q_v_member_order),
@@ -4628,6 +4664,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_stats": SQL_EVENT_PROPS,
         "events_daily_pivot": SQL_EVENTS_PIVOT,
         "orders_rollup": SQL_ORDERS_ROLLUP,
+        "events_cube": SQL_EVENTS_CUBE,
         "v_tags": SQL_V_TAGS,
         "v_member_order": SQL_V_MEMBER_ORDER,
         "v_node_count": SQL_V_NODE_COUNT,
