@@ -1047,6 +1047,86 @@ WHERE {proper} OR {touch}
 """
 
 
+def q_convex_hull_membership(spark, sf):
+    """Per-group convex hull (spatial/hull.py, monotone chain in Arrow
+    batches — the data-dependent-stack engine class of way_order /
+    simplify): 120 customers in 5 groups; output flags which points
+    are hull vertices. The oracle is INDEPENDENT mathematics, not a
+    chain replay: p is a hull vertex iff p is not in the convex hull
+    of the others (Caratheodory: no containing triangle and no
+    collinear segment), checked exhaustively in SQL on the same
+    integer µdeg coordinates."""
+    from osm_pt_validator_spark.spatial.hull import convex_hull
+
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 120)
+    pts = c.select(
+        (F.col("c_custkey") % 5).alias("g"),
+        "c_custkey",
+        _cust_lat(F.col("c_custkey")).alias("lat"),
+        _cust_lon(F.col("c_custkey")).alias("lon"),
+    )
+    hull = convex_hull(pts, "g").select(
+        "g", F.col("x_udeg").alias("__hx"), F.col("y_udeg").alias("__hy")
+    )
+    keyed = pts.select(
+        "g",
+        "c_custkey",
+        F.round(F.col("lon") * 1e6).cast("long").alias("__x"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("__y"),
+    )
+    return (
+        keyed.join(
+            hull,
+            (keyed["g"] == hull["g"])
+            & (F.col("__x") == F.col("__hx"))
+            & (F.col("__y") == F.col("__hy")),
+            "left",
+        )
+        .select(
+            keyed["g"],
+            "c_custkey",
+            F.when(F.col("__hx").isNotNull(), 1).otherwise(0).cast("int").alias("on_hull"),
+        )
+    )
+
+
+def _sql_convex_hull_membership() -> str:
+    def cr(ax, ay, bx, by, px, py):
+        return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+
+    d1 = cr("a.x", "a.y", "b.x", "b.y", "pt.x", "pt.y")
+    d2 = cr("b.x", "b.y", "c.x", "c.y", "pt.x", "pt.y")
+    d3 = cr("c.x", "c.y", "a.x", "a.y", "pt.x", "pt.y")
+    nondeg = cr("a.x", "a.y", "b.x", "b.y", "c.x", "c.y")
+    seg_cr = cr("a.x", "a.y", "b.x", "b.y", "pt.x", "pt.y")
+    return f"""
+WITH p AS (
+  SELECT c_custkey % 5 AS g, c_custkey AS id,
+    CAST(round(({_SQL_CUST_LON}) * 1e6) AS BIGINT) AS x,
+    CAST(round(({_SQL_CUST_LAT}) * 1e6) AS BIGINT) AS y
+  FROM customer WHERE c_custkey <= 120)
+SELECT pt.g, pt.id AS c_custkey,
+  CAST(NOT (
+    EXISTS (
+      SELECT 1 FROM p a, p b, p c
+      WHERE a.g = pt.g AND b.g = pt.g AND c.g = pt.g
+        AND a.id < b.id AND b.id < c.id
+        AND a.id != pt.id AND b.id != pt.id AND c.id != pt.id
+        AND {nondeg} != 0
+        AND (({d1} >= 0 AND {d2} >= 0 AND {d3} >= 0)
+          OR ({d1} <= 0 AND {d2} <= 0 AND {d3} <= 0)))
+    OR EXISTS (
+      SELECT 1 FROM p a, p b
+      WHERE a.g = pt.g AND b.g = pt.g AND a.id < b.id
+        AND a.id != pt.id AND b.id != pt.id
+        AND {seg_cr} = 0
+        AND pt.x >= LEAST(a.x, b.x) AND pt.x <= GREATEST(a.x, b.x)
+        AND pt.y >= LEAST(a.y, b.y) AND pt.y <= GREATEST(a.y, b.y))
+  ) AS INT) AS on_hull
+FROM p pt
+"""
+
+
 POLYFILL_RES = 15
 
 
@@ -4567,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_geometry": wrap(q_zone_geometry),
         "polyfill_zones": wrap(q_polyfill_zones),
         "segment_intersections": wrap(q_segment_intersections),
+        "convex_hull_membership": wrap(q_convex_hull_membership),
         "shared_segments_events": wrap(q_shared_segments),
         "trajectory_turns": wrap(q_trajectory_turns),
         "route_simplify": wrap(q_route_simplify),
@@ -4677,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_geometry": _sql_zone_geometry(),
         "polyfill_zones": _sql_polyfill_zones(),
         "segment_intersections": _sql_segment_intersections(),
+        "convex_hull_membership": _sql_convex_hull_membership(),
         "shared_segments_events": SQL_SHARED_SEGMENTS,
         "trajectory_turns": _sql_trajectory_turns(),
         "route_simplify": _sql_route_simplify(),

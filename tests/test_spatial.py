@@ -1040,3 +1040,47 @@ def test_linear_reference_partial_agg_plan(spark):
     # min(struct) must partial-aggregate (HashAggregate pair), never a
     # rank window over all candidate segments
     assert "partial_min" in plan or "partial_first" in plan
+
+
+def test_convex_hull_vs_python_properties(spark):
+    from osm_pt_validator_spark.spatial.hull import convex_hull, monotone_chain
+
+    # pure-function sanity: square with interior + collinear edge point
+    sq = [(0, 0), (10, 0), (10, 10), (0, 10), (5, 5), (5, 0)]
+    assert monotone_chain(sq) == [(0, 0), (10, 0), (10, 10), (0, 10)]
+    # all-collinear degenerates to the two extremes
+    assert monotone_chain([(0, 0), (2, 2), (5, 5), (1, 1)]) == [(0, 0), (5, 5)]
+
+    # dataframe path: every input point lies inside-or-on the hull,
+    # every hull vertex is an input point, hull is convex (CCW turns)
+    rows = [
+        (g, i, 55.9 + ((i * 13 + g) % 50) * 1e-3, -3.3 + ((i * 7 + 2 * g) % 60) * 1e-3)
+        for g in range(3)
+        for i in range(40)
+    ]
+    pts = spark.createDataFrame(rows, "g long, i long, lat double, lon double")
+    hull_rows = convex_hull(pts, "g").collect()
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(hull_rows, key=lambda r: (r.g, r.hull_seq)):
+        by_g.setdefault(r.g, []).append((r.x_udeg, r.y_udeg))
+    inputs = {
+        g: {(round(lon * 1e6), round(lat * 1e6)) for gg, _, lat, lon in rows if gg == g}
+        for g in range(3)
+    }
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    for g, hull in by_g.items():
+        assert set(hull) <= inputs[g]
+        n = len(hull)
+        assert n >= 3
+        # strictly convex and CCW: every consecutive turn is a left turn
+        for k in range(n):
+            assert cross(hull[k], hull[(k + 1) % n], hull[(k + 2) % n]) > 0
+        # containment: every input point is left-of-or-on every edge
+        for p in inputs[g]:
+            for k in range(n):
+                assert cross(hull[k], hull[(k + 1) % n], p) >= 0
+        # starts at the lexicographic minimum
+        assert hull[0] == min(hull)
