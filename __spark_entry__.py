@@ -3638,6 +3638,50 @@ WHERE len(list_filter(
 """
 
 
+def q_domain_link_graph(spark, sf):
+    """Link-graph ingestion (crawl.extract_links/domain_link_graph):
+    href extraction is one regexp_extract_all per page, map-only,
+    pipelined with the scan; the cross-domain edge rollup is a single
+    map-side-combining count. Feeds PageRank crawl prioritization."""
+    from osm_pt_validator_spark.operators.crawl import domain_link_graph
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    html = F.format_string(
+        '<p>d%d</p><a href="https://host%d.example.org/p/%d">a</a>'
+        '<a href="https://host%d.example.org/q">b</a><a href="#top">c</a>',
+        F.col("doc_id"),
+        (F.col("doc_id") * 3) % 7,
+        F.col("doc_id"),
+        (F.col("doc_id") + 1) % 7,
+    )
+    pages = d.select(
+        F.format_string(
+            "https://host%d.example.org/p/%d", F.col("doc_id") % 7, F.col("doc_id")
+        ).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    return domain_link_graph(pages)
+
+
+SQL_DOMAIN_LINK_GRAPH = """
+WITH pages AS (
+  SELECT printf('https://host%d.example.org/p/%d', doc_id % 7, doc_id) AS url,
+    printf('<p>d%d</p><a href="https://host%d.example.org/p/%d">a</a><a href="https://host%d.example.org/q">b</a><a href="#top">c</a>',
+           doc_id, (doc_id * 3) % 7, doc_id, (doc_id + 1) % 7) AS html
+  FROM documents),
+l AS (
+  SELECT url, UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM pages),
+d AS (
+  SELECT
+    regexp_replace(regexp_replace(lower(regexp_extract(url,  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', ''), ':\\d+$', '') AS src,
+    regexp_replace(regexp_replace(lower(regexp_extract(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', ''), ':\\d+$', '') AS dst
+  FROM l)
+SELECT src AS src_domain, dst AS dst_domain, COUNT(*) AS n_links
+FROM d WHERE dst != '' AND dst != src GROUP BY 1, 2
+"""
+
+
 def q_crawl_changed(spark, sf):
     """Recrawl change detection (crawl.changed_pages): urls whose
     newest snapshot differs from the previous crawl."""
@@ -4683,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-level curation
         "crawl_latest": wrap(q_crawl_latest),
         "blocklist_pages": wrap(q_blocklist_pages),
+        "domain_link_graph": wrap(q_domain_link_graph),
         "crawl_changed": wrap(q_crawl_changed),
         "domain_stats": wrap(q_domain_stats),
         "pii_scrub": wrap(q_pii_scrub),
@@ -4789,6 +4834,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _sql_doc_repetition(),
         "crawl_latest": SQL_CRAWL_LATEST,
         "blocklist_pages": SQL_BLOCKLIST_PAGES,
+        "domain_link_graph": SQL_DOMAIN_LINK_GRAPH,
         "crawl_changed": SQL_CRAWL_CHANGED,
         "domain_stats": SQL_DOMAIN_STATS,
         "pii_scrub": _sql_pii_scrub(),

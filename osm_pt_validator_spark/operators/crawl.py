@@ -244,3 +244,53 @@ def blocklist_filter(
         .distinct()
     )
     return pages.join(blocked_doms, dom == F.col("__dom"), "left_anti")
+
+
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """All <a href> targets per page, in document order:
+    (url, link_idx, href, src_domain, dst_domain) — the crawl-frontier
+    / link-graph ingestion step between WARC ingestion and PageRank.
+
+    Pure JVM: one regexp_extract_all per row (the regex engine runs
+    once per page, not per candidate — the reason this is NOT the
+    Arrow path extraction G2 uses for its 4-group mention grammar) and
+    a posexplode. Map-only: pipelined with the scan, zero shuffle.
+    """
+    hrefs = F.expr(f"regexp_extract_all(CAST({html_col} AS STRING), '{_HREF_RE}', 1)")
+    return (
+        pages.select(
+            F.col(url_col),
+            F.posexplode(hrefs).alias("link_idx", "href"),
+        )
+        .select(
+            url_col,
+            "link_idx",
+            "href",
+            url_domain(F.col(url_col)).alias("src_domain"),
+            url_domain(F.col("href")).alias("dst_domain"),
+        )
+    )
+
+
+def domain_link_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Cross-domain edge table (src_domain, dst_domain, n_links) —
+    self-loops and non-url hrefs (relative links, anchors) dropped.
+    The input of PageRank-style crawl prioritization
+    (operators/pagerank.py). One map-side-combining shuffle on the
+    (domain, domain) key; mega-domain skew reduces map-side because
+    the agg is a plain count."""
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+    return (
+        links.filter(
+            (F.col("dst_domain") != "") & (F.col("dst_domain") != F.col("src_domain"))
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

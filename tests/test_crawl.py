@@ -268,3 +268,50 @@ def test_blocklist_filter_broadcast_is_shuffle_free(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     corpus_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_side
+
+
+def test_extract_links_and_domain_graph(spark):
+    from osm_pt_validator_spark.operators.crawl import (
+        domain_link_graph,
+        extract_links,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p",
+                bytearray(
+                    b'<p>x</p><a href="https://b.example/q">1</a>'
+                    b'<a href="/rel">2</a><a href="https://a.example/self">3</a>'
+                ),
+            ),
+            (
+                "https://b.example/r",
+                bytearray(
+                    b'<a href="https://a.example/z">1</a>'
+                    b'<a href="https://a.example/z2">2</a>'
+                ),
+            ),
+            ("https://c.example/none", bytearray(b"<p>no links</p>")),
+        ],
+        "url string, html binary",
+    )
+    links = extract_links(pages).collect()
+    # document order preserved per page
+    a_links = sorted(
+        (r.link_idx, r.href) for r in links if r.url == "https://a.example/p"
+    )
+    assert a_links == [
+        (0, "https://b.example/q"),
+        (1, "/rel"),
+        (2, "https://a.example/self"),
+    ]
+    graph = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in domain_link_graph(pages).collect()
+    }
+    # relative href ('' domain) and the self-loop are dropped
+    assert graph == {("a.example", "b.example"): 1, ("b.example", "a.example"): 2}
+    # map-only: extract_links must not shuffle
+    plan = extract_links(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
