@@ -4630,6 +4630,45 @@ GROUP BY 1
 """
 
 
+def q_exact_mad(spark, sf):
+    """Exact per-group median absolute deviation (sketches.
+    exact_group_mad): robust spread for outlier rules that 3-sigma
+    breaks on heavy tails. Integer end to end: deviations in the x2
+    domain, emitted mad_x4 = MAD*4."""
+    from osm_pt_validator_spark.operators.sketches import exact_group_mad
+
+    e = _t(spark, sf, "events")
+    return exact_group_mad(e, ["event_type"], _cents(F.col("value")))
+
+
+SQL_EXACT_MAD = """
+WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type, v,
+        row_number() OVER (PARTITION BY event_type ORDER BY v ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS c
+      FROM v),
+med AS (
+  SELECT event_type, CAST(MAX(c) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN (c + 1) // 2 = (c + 2) // 2 THEN v * 2 ELSE v END)
+         AS BIGINT) AS median_x2
+  FROM r WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2 GROUP BY 1),
+dev AS (
+  SELECT v.event_type, abs(v.v * 2 - med.median_x2) AS d
+  FROM v JOIN med USING (event_type)),
+rd AS (SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS c
+       FROM dev),
+mad AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN (c + 1) // 2 = (c + 2) // 2 THEN d * 2 ELSE d END)
+         AS BIGINT) AS mad_x4
+  FROM rd WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2 GROUP BY 1)
+SELECT event_type, n, median_x2, mad_x4 FROM med JOIN mad USING (event_type)
+"""
+
+
 def q_source_mixture(spark, sf):
     """Temperature-scaled training-mixture weights (curation.
     mixture_weights, alpha=0.5): per-source tempered shares and repeat
@@ -4747,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": wrap(q_session_stats_events),
         "event_anomalies": wrap(q_event_anomalies),
         "exact_median": wrap(q_exact_median),
+        "exact_mad": wrap(q_exact_mad),
         "funnel_stages": wrap(q_funnel),
         "snapshot_upsert": wrap(q_snapshot_upsert),
         "dup_spans": wrap(q_dup_spans),
@@ -4852,6 +4892,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": SQL_SESSION_STATS,
         "event_anomalies": SQL_EVENT_ANOMALIES,
         "exact_median": SQL_EXACT_MEDIAN,
+        "exact_mad": SQL_EXACT_MAD,
         "funnel_stages": SQL_FUNNEL,
         "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
         "dup_spans": _sql_dup_spans(),

@@ -608,3 +608,36 @@ def cms_lookup(
     return joined.groupBy(*group_cols, "probe").agg(
         F.min("__c").alias("est_count")
     )
+
+
+def exact_group_mad(
+    df: DataFrame, key_cols: list[str], value: Column
+) -> DataFrame:
+    """Exact per-group median absolute deviation — the robust spread
+    estimate outlier detection wants where stddev is poisoned by the
+    outliers themselves (trailing_anomalies' 3-sigma rule breaks on
+    heavy tails; median +- k*MAD does not).
+
+    Stays in the integer domain end to end: deviations are computed in
+    the x2 domain (|2*v - median_x2| — no halving, no floats), so the
+    emitted mad_x4 is (MAD * 4), exact and engine-identical. Composes
+    :func:`exact_group_median` twice with a join between — like the
+    exact median, this fundamentally requires the full group twice;
+    the sketch family is the exploratory path at 100 TB.
+
+    Output: key_cols + (n, median_x2, mad_x4).
+    """
+    med = exact_group_median(df, key_cols, value)
+    v = df.select(*key_cols, value.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    dev = v.join(med.select(*key_cols, "median_x2"), key_cols).select(
+        *key_cols,
+        F.abs(F.col("__v") * 2 - F.col("median_x2")).alias("__dev_x2"),
+    )
+    mad = exact_group_median(dev, key_cols, F.col("__dev_x2")).select(
+        *key_cols, F.col("median_x2").alias("mad_x4")
+    )
+    return med.join(mad, key_cols).select(
+        *key_cols, "n", "median_x2", "mad_x4"
+    )

@@ -315,3 +315,17 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     whole = {(r.d, r.idx): r.counter for r in dig.collect()}
     got = {(r.d, r.idx): r.counter for r in merged.collect()}
     assert got == whole
+
+
+def test_exact_group_mad_hand_case(spark):
+    from osm_pt_validator_spark.operators.sketches import exact_group_mad
+
+    # g=a: values 1..7 plus outlier 1000 -> median_x2 = 4+5 = 9,
+    # devs_x2 = |2v-9| = 7,5,3,1,1,3,5,1991 -> sorted 1,1,3,3,5,5,7,1991
+    # -> mad_x4 = 3+5 = 8 (i.e. MAD = 2.0, immune to the outlier)
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 1000]] + [("b", 42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in exact_group_mad(df, ["g"], F.col("v")).collect()}
+    assert (out["a"].n, out["a"].median_x2, out["a"].mad_x4) == (8, 9, 8)
+    # singleton: median = value, MAD = 0
+    assert (out["b"].n, out["b"].median_x2, out["b"].mad_x4) == (1, 84, 0)
