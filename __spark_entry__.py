@@ -732,6 +732,49 @@ FROM events GROUP BY 1
 """
 
 
+def q_focal_heatmap(spark, sf):
+    """Raster focal smoothing (spatial/tiles.py:focal_mean): each hot
+    cell of the events heatmap scatters to its 9-neighborhood, one
+    map-side-combining sum per target cell, clipped kernel size at
+    grid edges — convolution without densifying the grid."""
+    from osm_pt_validator_spark.functions.geo import cell
+    from osm_pt_validator_spark.spatial.tiles import focal_mean
+
+    e = _t(spark, sf, "events")
+    lat = (F.col("user_id") % 1700) / 10.0 - 85.0
+    lon = (F.col("event_id") % 3600) / 10.0 - 180.0
+    heat = (
+        e.select(cell(lat, lon, 8).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return focal_mean(heat, res=8, value_col="n")
+
+
+SQL_FOCAL_HEATMAP = f"""
+WITH h AS (
+  SELECT {_sql_cell("(user_id % 1700) / 10.0 - 85.0", "(event_id % 3600) / 10.0 - 180.0", 8)} AS cell,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+o AS (SELECT di.di, dj.dj
+      FROM (VALUES (-1), (0), (1)) di(di), (VALUES (-1), (0), (1)) dj(dj)),
+sc AS (
+  SELECT ((((h.cell >> 32) + o.di) << 32) | ((h.cell & 4294967295) + o.dj)) AS cell, h.n
+  FROM h, o
+  WHERE (h.cell >> 32) + o.di BETWEEN 0 AND 255
+    AND (h.cell & 4294967295) + o.dj BETWEEN 0 AND 255),
+a AS (SELECT cell, COUNT(*) AS n_present, CAST(SUM(n) AS BIGINT) AS sum_val
+      FROM sc GROUP BY 1)
+SELECT cell, n_present, sum_val,
+  (sum_val * 100) // (
+    CAST((3 - CASE WHEN (cell >> 32) = 0 THEN 1 ELSE 0 END
+            - CASE WHEN (cell >> 32) = 255 THEN 1 ELSE 0 END) AS BIGINT)
+    * (3 - CASE WHEN (cell & 4294967295) = 0 THEN 1 ELSE 0 END
+         - CASE WHEN (cell & 4294967295) = 255 THEN 1 ELSE 0 END)) AS mean_scaled
+FROM a
+"""
+
+
 ZONE_POLYS = [
     (1, [-3.300, -3.260, -3.260, -3.300], [55.900, 55.900, 55.950, 55.950]),
     (2, [-3.250, -3.210, -3.210, -3.250], [55.940, 55.940, 56.000, 56.000]),
@@ -4726,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_relations": wrap(q_parent_relations),
         # spatial (G3-G8)
         "cell_counts_events": wrap(q_cell_counts_events),
+        "focal_heatmap": wrap(q_focal_heatmap),
         "zonal_stats_customers": wrap(q_zonal_stats),
         "zone_geometry": wrap(q_zone_geometry),
         "polyfill_zones": wrap(q_polyfill_zones),
@@ -4839,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
         "v_oneway_url": _sql_v_oneway(),
         "parent_relations": SQL_PARENT_RELATIONS,
         "cell_counts_events": SQL_CELL_COUNTS,
+        "focal_heatmap": SQL_FOCAL_HEATMAP,
         "zonal_stats_customers": _sql_zonal_stats(),
         "zone_geometry": _sql_zone_geometry(),
         "polyfill_zones": _sql_polyfill_zones(),

@@ -132,3 +132,51 @@ def heatmap_vector(
         "n",
         *[c.alias(k) for k, c in b.items()],
     )
+
+
+def focal_mean(
+    cells: DataFrame,
+    res: int,
+    value_col: str = "n",
+    cell_col: str = "cell",
+    mean_scale: int = 100,
+) -> DataFrame:
+    """3x3 focal (neighborhood) smoothing over a sparse cell raster —
+    the raster convolution step between a raw heatmap and contouring /
+    hotspot thresholds, computed WITHOUT densifying the grid.
+
+    Every input cell scatters its value to its 9-neighborhood
+    (kring_cells, grid-clipped); one map-side-combining groupBy sums
+    the contributions per target cell. Absent cells count as zero, and
+    the divisor is the target's CLIPPED kernel size (6 on an edge, 4 in
+    a corner), derived arithmetically from the target's (i, j) — so
+    edge cells are true means, not zero-padded underestimates. Output
+    rows cover exactly the cells with at least one present neighbor
+    (the support of the convolution).
+
+    Integer contract: mean_x{scale} = sum * scale div kernel_size
+    (truncating) — exact, engine-identical.
+
+    Output: (cell, n_present, sum_val, mean_x{scale} as mean_scaled).
+    """
+    from osm_pt_validator_spark.functions.geo import kring_cells
+
+    n = 1 << res
+    scattered = cells.select(
+        F.explode(kring_cells(F.col(cell_col), 1, res)).alias("cell"),
+        F.col(value_col).alias("__v"),
+    )
+    agg = scattered.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum("__v").alias("sum_val"),
+    )
+    i = F.shiftright(F.col("cell"), 32)
+    j = F.col("cell").bitwiseAND(F.lit(0xFFFFFFFF))
+    ki = F.lit(3) - (i == 0).cast("int") - (i == n - 1).cast("int")
+    kj = F.lit(3) - (j == 0).cast("int") - (j == n - 1).cast("int")
+    ksize = (ki * kj).cast("long")
+    mean_scaled = (
+        (F.col("sum_val") * mean_scale - (F.col("sum_val") * mean_scale) % ksize)
+        / ksize
+    ).cast("long")
+    return agg.select("cell", "n_present", "sum_val", mean_scaled.alias("mean_scaled"))

@@ -1084,3 +1084,37 @@ def test_convex_hull_vs_python_properties(spark):
                 assert cross(hull[k], hull[(k + 1) % n], p) >= 0
         # starts at the lexicographic minimum
         assert hull[0] == min(hull)
+
+
+def test_focal_mean_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.tiles import focal_mean
+
+    res = 4  # tiny grid (16x16) so corner/edge clipping is exercised
+    n = 1 << res
+    raw = [(0, 0, 5), (0, 1, 7), (1, 0, 1), (8, 8, 9), (15, 15, 4)]
+    rows = [((i << 32) | j, v) for i, j, v in raw]
+    df = spark.createDataFrame(rows, "cell long, n long")
+    got = {
+        r.cell: (r.n_present, r.sum_val, r.mean_scaled)
+        for r in focal_mean(df, res=res, value_col="n").collect()
+    }
+
+    want_sum: dict[int, list] = {}
+    for i, j, v in raw:
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ti, tj = i + di, j + dj
+                if 0 <= ti < n and 0 <= tj < n:
+                    c = (ti << 32) | tj
+                    s = want_sum.setdefault(c, [0, 0])
+                    s[0] += 1
+                    s[1] += v
+    want = {}
+    for c, (cnt, s) in want_sum.items():
+        ti, tj = c >> 32, c & 0xFFFFFFFF
+        ki = 3 - (ti == 0) - (ti == n - 1)
+        kj = 3 - (tj == 0) - (tj == n - 1)
+        want[c] = (cnt, s, (s * 100) // (ki * kj))
+    assert got == want
+    # corner cell (0,0) has kernel 4: mean of {5,7,1} + implicit 0
+    assert got[0] == (3, 13, 325)
