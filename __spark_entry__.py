@@ -2258,6 +2258,48 @@ SELECT ngram, COUNT(*) AS n FROM g GROUP BY 1 HAVING COUNT(*) >= 3
 """
 
 
+def q_passage_windows(spark, sf):
+    """Retrieval chunking (text.passage_windows): overlapping 64-token
+    windows at stride 32, final window pinned to the last token. Pure
+    array algebra, map-only."""
+    from osm_pt_validator_spark.operators.text import passage_windows
+
+    return passage_windows(
+        _t(spark, sf, "documents"), window_tokens=64, stride=32
+    )
+
+
+def _sql_passage_windows(window_tokens: int = 64, stride: int = 32) -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         GREATEST(1, len(toks) - {window_tokens - 1}) AS last_start
+  FROM d WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks,
+    CASE WHEN (last_start - 1) % {stride} = 0
+         THEN range(1, last_start + 1, {stride})
+         ELSE list_append(range(1, last_start + 1, {stride}), last_start)
+    END AS ss
+  FROM st),
+w AS (
+  SELECT doc_id, UNNEST(ss) AS start_tok, toks FROM starts),
+p AS (
+  SELECT doc_id, start_tok,
+         toks[start_tok : start_tok + {window_tokens - 1}] AS win
+  FROM w)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS INT)
+    AS window_idx,
+  CAST(start_tok AS INT) AS start_tok,
+  CAST(len(win) AS INT) AS n_tokens,
+  array_to_string(win, ' ') AS passage
+FROM p WHERE len(win) > 0
+"""
+
+
 def q_pmi_collocations(spark, sf):
     """PMI collocation mining (operators/text.py:pmi_collocations):
     ONE corpus scan emits (token, successor-or-NULL), so the pair-count
@@ -4796,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": wrap(q_doc_quality),
         "ngram_counts": wrap(q_ngram_counts),
         "pmi_collocations": wrap(q_pmi_collocations),
+        "passage_windows": wrap(q_passage_windows),
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
         "dedup_kept": wrap(q_dedup_kept),
@@ -4966,6 +5009,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_contained": _sql_pip(),
         "ngram_counts": _sql_ngram_counts(),
         "pmi_collocations": _sql_pmi_collocations(),
+        "passage_windows": _sql_passage_windows(),
         "tfidf_top_terms": _sql_tfidf(),
         # golden VALUES oracles transcribed from the reference's test
         # expectations (the automaton itself is not SQL-expressible,

@@ -397,3 +397,59 @@ def pmi_collocations(
             .alias("pmi_ppm"),
         )
     )
+
+
+def passage_windows(
+    documents: DataFrame,
+    window_tokens: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token windows per document — the retrieval-corpus
+    chunking step (each passage gets embedded/indexed; the overlap
+    keeps answers that straddle a boundary findable). Complements
+    pack_chunks (which packs WHOLE docs into training shards; this
+    splits WITHIN docs with overlap).
+
+    Window starts step by ``stride``; the final window is pinned to
+    end exactly at the last token (so no suffix is lost and every
+    window except possibly a short doc's single window has exactly
+    ``window_tokens`` tokens). Pure array algebra — sequence of
+    starts, slice per start, array_join — zero shuffle, map-only,
+    pipelined with the scan.
+
+    Output: (id_col, window_idx, start_tok, n_tokens, passage) where
+    passage is the single-space token join (normalized text).
+    """
+    if stride <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    last_start = F.greatest(F.lit(1), n - (window_tokens - 1))
+    base = F.sequence(F.lit(1), last_start, F.lit(stride))
+    # pin the final window to end at the last token; appended only when
+    # the stride lattice missed it, so starts stay strictly increasing
+    # (no order-ambiguous distinct — the oracle replays this exactly)
+    starts = F.when(
+        (last_start - 1) % stride == 0, base
+    ).otherwise(F.concat(base, F.array(last_start)))
+    wins = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("start_tok"),
+                F.slice(toks, s, window_tokens).alias("w"),
+            ),
+        ),
+        lambda t: F.size(t["w"]) > 0,
+    )
+    return documents.select(
+        id_col, F.posexplode(wins).alias("window_idx", "__w")
+    ).select(
+        id_col,
+        F.col("window_idx").cast("int").alias("window_idx"),
+        F.col("__w.start_tok").cast("int").alias("start_tok"),
+        F.size("__w.w").alias("n_tokens"),
+        F.array_join("__w.w", " ").alias("passage"),
+    )

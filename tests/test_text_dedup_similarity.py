@@ -616,3 +616,39 @@ def test_pmi_collocations_vs_python_oracle(spark):
     # assert via corpus token total reconstructed from the operator's
     # internals being consistent with the python count
     assert n_tokens == 24
+
+
+def test_passage_windows_coverage_and_overlap(spark):
+    from osm_pt_validator_spark.operators.text import passage_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "short doc"),
+            (3, ""),
+            (4, " ".join(f"u{i}" for i in range(7))),  # stride-aligned end
+        ],
+        "doc_id long, text string",
+    )
+    out = passage_windows(docs, window_tokens=4, stride=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.window_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,4,7 — the last window ends exactly at token 10
+    assert [(r.start_tok, r.n_tokens) for r in by_doc[1]] == [(1, 4), (4, 4), (7, 4)]
+    assert by_doc[1][-1].passage == "t6 t7 t8 t9"
+    # overlap: consecutive windows share window-stride = 1 token
+    assert by_doc[1][0].passage.split()[-1] == by_doc[1][1].passage.split()[0]
+    # short doc: one window with all tokens
+    assert [(r.start_tok, r.n_tokens, r.passage) for r in by_doc[2]] == [
+        (1, 2, "short doc")
+    ]
+    # empty doc: no windows
+    assert 3 not in by_doc
+    # 7 tokens, w=4: last_start=4 is ON the stride lattice — no dup window
+    assert [(r.start_tok, r.n_tokens) for r in by_doc[4]] == [(1, 4), (4, 4)]
+    # every token of doc 1 is covered by at least one window
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+    assert covered == set(range(1, 11))
