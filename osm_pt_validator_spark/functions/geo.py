@@ -154,3 +154,11 @@ def make_morton_udf(res: int = DEFAULT_RES):
 
 def morton_parent(c: Column, dr: int) -> Column:
     return F.shiftright(c, 2 * dr)
+
+
+def udeg(v: Column) -> Column:
+    """Micro-degree integer quantization — THE shared spelling
+    (`round(v * 1e6)` as long) used by every exact-integer geometry
+    operator (trajectory, hull, intersect, zone_geometry) and replayed
+    in oracles as CAST(round(x * 1e6) AS BIGINT)."""
+    return F.round(v * 1e6).cast("long")

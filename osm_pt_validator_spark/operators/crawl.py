@@ -226,9 +226,16 @@ def blocklist_filter(
     dom = url_domain(F.col(url_col))
     if mode == "broadcast":
         bset = blocked.agg(F.collect_set("domain").alias("__blocked"))
+        # NULL/hostless urls have nothing to match: keep them (the
+        # join mode's anti-join keeps them too — the two modes must
+        # agree row-for-row, not just on well-formed urls)
+        overlap = F.coalesce(
+            F.arrays_overlap(domain_suffixes(dom), F.col("__blocked")),
+            F.lit(False),
+        )
         return (
             pages.crossJoin(F.broadcast(bset))
-            .filter(~F.arrays_overlap(domain_suffixes(dom), F.col("__blocked")))
+            .filter(~overlap)
             .drop("__blocked")
         )
     if mode != "join":

@@ -342,7 +342,9 @@ def diverse_sample(
     """
     from osm_pt_validator_spark.operators.similarity import hyperplane_bucket
 
-    b = embeddings.select(
+    # a NULL id would md5 to NULL and sort FIRST in Spark's window
+    # (LAST in DuckDB), stealing a representative slot — exclude it
+    b = embeddings.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
@@ -390,7 +392,12 @@ def weighted_sample(
         float(1 << 60)
     )
     pri = F.round((-F.log(u) / weight.cast("double")) * 1e9).cast("long")
-    base = df.filter(weight > 0).withColumn("__pri", pri)
+    # NULL keys would hash to NULL priorities, which Spark's ASC
+    # ordering puts FIRST (a free win regardless of weight) while
+    # DuckDB puts them LAST — exclude them like non-positive weights
+    base = df.filter(weight > 0).filter(
+        F.col(key_col).isNotNull()
+    ).withColumn("__pri", pri)
     w = (
         Window.partitionBy(*groups).orderBy(
             F.col("__pri").asc(), F.col(key_col).asc()

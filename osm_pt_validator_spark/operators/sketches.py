@@ -458,7 +458,9 @@ def hll_distinct(
     w = 60 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     h = md5_i64(value)
-    hashed = df.select(
+    # COUNT(DISTINCT) semantics: NULL is not a value (a NULL hash
+    # would otherwise occupy a register and inflate the estimate)
+    hashed = df.filter(value.isNotNull()).select(
         *group_cols,
         F.shiftright(h, w).alias("__idx"),
         h.bitwiseAND(F.lit((1 << w) - 1)).alias("__rest"),
@@ -563,7 +565,8 @@ def cms_digest(
             )
         )
     return (
-        df.select(*group_cols, F.explode(F.array(*rows)).alias("__p"))
+        df.filter(value.isNotNull())  # NULL is not a countable value
+        .select(*group_cols, F.explode(F.array(*rows)).alias("__p"))
         .groupBy(*group_cols, F.col("__p.d").alias("d"), F.col("__p.idx").alias("idx"))
         .agg(F.count(F.lit(1)).alias("counter"))
     )
@@ -631,13 +634,22 @@ def exact_group_mad(
     v = df.select(*key_cols, value.alias("__v")).filter(
         F.col("__v").isNotNull()
     )
-    dev = v.join(med.select(*key_cols, "median_x2"), key_cols).select(
-        *key_cols,
+    # null-safe joins: exact_group_median keeps NULL-key groups (SQL
+    # GROUP BY semantics), so the rejoin must too — a plain equi-join
+    # would silently drop their MAD
+    m = med.select(
+        *[F.col(k).alias(f"__mk_{k}") for k in key_cols], "median_x2"
+    )
+    mcond = [v[k].eqNullSafe(m[f"__mk_{k}"]) for k in key_cols]
+    dev = v.join(m, mcond).select(
+        *[v[k] for k in key_cols],
         F.abs(F.col("__v") * 2 - F.col("median_x2")).alias("__dev_x2"),
     )
     mad = exact_group_median(dev, key_cols, F.col("__dev_x2")).select(
-        *key_cols, F.col("median_x2").alias("mad_x4")
+        *[F.col(k).alias(f"__dk_{k}") for k in key_cols],
+        F.col("median_x2").alias("mad_x4"),
     )
-    return med.join(mad, key_cols).select(
-        *key_cols, "n", "median_x2", "mad_x4"
+    fcond = [med[k].eqNullSafe(mad[f"__dk_{k}"]) for k in key_cols]
+    return med.join(mad, fcond).select(
+        *[med[k] for k in key_cols], "n", "median_x2", "mad_x4"
     )

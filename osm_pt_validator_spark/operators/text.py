@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # small, fixed stopword inventories — a deterministic n-gram/stopword
 # heuristic, not a model (the container has no langid libs; the
@@ -354,6 +355,13 @@ def pmi_collocations(
     PMI is rounded to 6 dp before the ppm quantization (same
     cross-engine tie contract as tfidf_top_terms). Output:
     (w1, w2, pair_n, pmi_ppm) for pairs seen >= min_pair_count times.
+
+    Cache lifetime: the vocabulary-bounded pair table is persisted
+    (verified: without it Catalyst does NOT reuse the exchange and the
+    corpus is scanned 4x). The cached frame is exposed as
+    ``result._pmi_pair_counts`` — long-lived sessions that call this
+    repeatedly should ``.unpersist()`` it after their action, else the
+    cached blocks pin executor memory until eviction.
     """
     toks = tokens(F.col(text_col))
     m = F.size(toks)
@@ -372,7 +380,7 @@ def pmi_collocations(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_n"))
-        .persist()  # vocabulary-bounded; reused for unigrams AND bigrams
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = pair_counts.groupBy("w1").agg(F.sum("pair_n").alias("c"))
     n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
@@ -382,7 +390,7 @@ def pmi_collocations(
     ratio = (F.col("pair_n").cast("double") * F.col("n_tokens")) / (
         F.col("c1").cast("double") * F.col("c2")
     )
-    return (
+    out = (
         big.join(uni.select(F.col("w1"), F.col("c").alias("c1")), "w1")
         .join(
             uni.select(F.col("w1").alias("w2"), F.col("c").alias("c2")), "w2"
@@ -397,6 +405,8 @@ def pmi_collocations(
             .alias("pmi_ppm"),
         )
     )
+    out._pmi_pair_counts = pair_counts  # unpersist handle (see docstring)
+    return out
 
 
 def passage_windows(

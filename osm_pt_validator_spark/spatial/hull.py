@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UD = 1e6
+from osm_pt_validator_spark.functions.geo import udeg
 
 
 def monotone_chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -65,13 +65,18 @@ def convex_hull(
     each group's point set, exploded one row per vertex."""
     slim = points.select(
         group_key,
-        F.round(F.col(lon) * _UD).cast("long").alias("__x"),
-        F.round(F.col(lat) * _UD).cast("long").alias("__y"),
+        udeg(F.col(lon)).alias("__x"),
+        udeg(F.col(lat)).alias("__y"),
     )
     grouped = slim.groupBy(group_key).agg(
         F.collect_list(F.struct("__x", "__y")).alias("__pts")
     )
-    out_schema = f"{group_key} long, hull_seq int, x_udeg long, y_udeg long"
+    # the key keeps its INPUT type (string route ids work, matching
+    # simplify_polylines' contract) — derive it, don't hardcode long
+    key_type = points.schema[group_key].dataType.simpleString()
+    out_schema = (
+        f"{group_key} {key_type}, hull_seq int, x_udeg long, y_udeg long"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

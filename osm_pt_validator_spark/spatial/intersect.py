@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from osm_pt_validator_spark.functions.geo import cell_i, cell_j
+from osm_pt_validator_spark.functions.geo import cell_i, cell_j, udeg
 
 _UD = 1e6
 
@@ -40,12 +40,21 @@ def _cover_cells(
     df: DataFrame, res: int, lat1: str, lon1: str, lat2: str, lon2: str
 ) -> DataFrame:
     """Explode each segment into the cells of its bbox cover at res,
-    carrying µdeg integer endpoints and the cover's (i_lo, j_lo)."""
-    i_lo = F.least(cell_i(F.col(lat1), res), cell_i(F.col(lat2), res))
-    i_hi = F.greatest(cell_i(F.col(lat1), res), cell_i(F.col(lat2), res))
-    j_lo = F.least(cell_j(F.col(lon1), res), cell_j(F.col(lon2), res))
-    j_hi = F.greatest(cell_j(F.col(lon1), res), cell_j(F.col(lon2), res))
-    q = lambda c: F.round(F.col(c) * _UD).cast("long")  # noqa: E731
+    carrying µdeg integer endpoints and the cover's (i_lo, j_lo).
+
+    The cover indexes are derived from the QUANTIZED coordinates (µdeg
+    ints divided back to degrees), never the raw doubles: the exact
+    test runs on quantized endpoints, so candidate generation must see
+    the same geometry — a raw-coordinate cover can put a segment whose
+    quantization crossed a cell boundary in the wrong row and silently
+    miss a touching pair."""
+    q = lambda c: udeg(F.col(c))  # noqa: E731
+    qlat1, qlat2 = q(lat1) / _UD, q(lat2) / _UD
+    qlon1, qlon2 = q(lon1) / _UD, q(lon2) / _UD
+    i_lo = F.least(cell_i(qlat1, res), cell_i(qlat2, res))
+    i_hi = F.greatest(cell_i(qlat1, res), cell_i(qlat2, res))
+    j_lo = F.least(cell_j(qlon1, res), cell_j(qlon2, res))
+    j_hi = F.greatest(cell_j(qlon1, res), cell_j(qlon2, res))
     return (
         df.select(
             "*",

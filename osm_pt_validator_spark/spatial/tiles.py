@@ -175,8 +175,14 @@ def focal_mean(
     ki = F.lit(3) - (i == 0).cast("int") - (i == n - 1).cast("int")
     kj = F.lit(3) - (j == 0).cast("int") - (j == n - 1).cast("int")
     ksize = (ki * kj).cast("long")
-    mean_scaled = (
-        (F.col("sum_val") * mean_scale - (F.col("sum_val") * mean_scale) % ksize)
-        / ksize
-    ).cast("long")
-    return agg.select("cell", "n_present", "sum_val", mean_scaled.alias("mean_scaled"))
+    # FLOOR division in pure int64 (matches DuckDB's //, including for
+    # negative values): pmod is non-negative, the adjusted numerator is
+    # exactly divisible, and `div` never leaves the integer domain —
+    # no 2^53 float-precision ceiling
+    with_k = agg.withColumn("__num", F.col("sum_val") * mean_scale).withColumn(
+        "__k", ksize
+    )
+    mean_scaled = F.expr("(__num - pmod(__num, __k)) div __k")
+    return with_k.select(
+        "cell", "n_present", "sum_val", mean_scaled.alias("mean_scaled")
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from osm_pt_validator_spark.functions.geo import haversine_m
+from osm_pt_validator_spark.functions.geo import haversine_m, udeg
 
 _UD = 1e6  # micro-degrees per degree
 
@@ -51,8 +51,8 @@ def _paths(
         F.col(traj_id),
         F.struct(
             *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
-            F.round(F.col(lat) * _UD).cast("long").alias("la"),
-            F.round(F.col(lon) * _UD).cast("long").alias("lo"),
+            udeg(F.col(lat)).alias("la"),
+            udeg(F.col(lon)).alias("lo"),
         ).alias("__pt"),
     )
     return slim.groupBy(traj_id).agg(

@@ -315,3 +315,21 @@ def test_extract_links_and_domain_graph(spark):
     # map-only: extract_links must not shuffle
     plan = extract_links(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_blocklist_modes_agree_on_null_and_hostless_urls(spark):
+    from osm_pt_validator_spark.operators.crawl import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://ok.example/x"), (2, None), (3, "not a url")],
+        "id long, url string",
+    )
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    got = {
+        mode: sorted(
+            r.id for r in blocklist_filter(pages, blocked, mode=mode).collect()
+        )
+        for mode in ("broadcast", "join")
+    }
+    # nothing to match => kept, and the two physical modes agree
+    assert got["broadcast"] == got["join"] == [1, 2, 3]

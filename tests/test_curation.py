@@ -286,3 +286,23 @@ def test_weighted_sample_proportional_deterministic_plan(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_and_diverse_sample_exclude_null_keys(spark):
+    from osm_pt_validator_spark.operators.curation import (
+        diverse_sample,
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0)] + [(i, 1000.0) for i in range(29)], "doc_id long, w double"
+    )
+    picked = weighted_sample(df, 3, F.col("w")).collect()
+    assert all(r.doc_id is not None for r in picked) and len(picked) == 3
+
+    e = spark.createDataFrame(
+        [(None, [1.0] * 4)] + [(i, [float((i * 3 + d) % 5 - 2) for d in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    reps = diverse_sample(e, dim=4, per_bucket=1, num_planes=3).collect()
+    assert all(r.vec_id is not None for r in reps)

@@ -329,3 +329,29 @@ def test_exact_group_mad_hand_case(spark):
     assert (out["a"].n, out["a"].median_x2, out["a"].mad_x4) == (8, 9, 8)
     # singleton: median = value, MAD = 0
     assert (out["b"].n, out["b"].median_x2, out["b"].mad_x4) == (1, 84, 0)
+
+
+def test_hll_and_cms_ignore_null_values_and_mad_keeps_null_groups(spark):
+    from osm_pt_validator_spark.operators.sketches import (
+        cms_digest,
+        exact_group_mad,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("h", None)], "g string, v string"
+    )
+    out = {r.g: r for r in hll_distinct(df, ["g"], F.col("v"), p=8).collect()}
+    # NULL is not a value: {a, NULL} counts 1; {NULL} counts 0
+    assert out["g"].hll_est_x100 == 100
+    assert "h" not in out or out["h"].hll_est_x100 == 0
+    dig = cms_digest(df, ["g"], F.col("v"), depth=2, width=16).collect()
+    assert sum(r.counter for r in dig) == 2  # one value x two rows(d)
+
+    mdf = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 9), ("a", 5)], "g string, v long"
+    )
+    mout = {r.g: r for r in exact_group_mad(mdf, ["g"], F.col("v")).collect()}
+    # the NULL-key group is a real SQL group and must keep its MAD
+    assert (mout[None].n, mout[None].median_x2, mout[None].mad_x4) == (3, 4, 4)
+    assert (mout["a"].n, mout["a"].mad_x4) == (1, 0)

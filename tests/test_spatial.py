@@ -1118,3 +1118,36 @@ def test_focal_mean_vs_python_oracle(spark):
     assert got == want
     # corner cell (0,0) has kernel 4: mean of {5,7,1} + implicit 0
     assert got[0] == (3, 13, 325)
+
+
+def test_convex_hull_string_group_key(spark):
+    from osm_pt_validator_spark.spatial.hull import convex_hull
+
+    pts = spark.createDataFrame(
+        [("r1", 55.9, -3.3), ("r1", 55.91, -3.3), ("r1", 55.9, -3.29), ("r1", 55.905, -3.295)],
+        "route string, lat double, lon double",
+    )
+    out = convex_hull(pts, "route").collect()
+    assert {r.route for r in out} == {"r1"} and len(out) == 3
+
+
+def test_segment_intersection_cover_uses_quantized_coords(spark):
+    """A segment whose µdeg quantization crosses a cell boundary must
+    still meet its touching partner (regression: covers derived from
+    raw doubles missed the pair the quantized exact test accepts)."""
+    from osm_pt_validator_spark.spatial.intersect import segment_intersection_join
+
+    res = 13
+    boundary = 6645 * 180.0 / (1 << res) - 90.0  # an exact row boundary
+    schema = "seg_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    # L sits 2e-7 BELOW the boundary (raw cover row 6644) but rounds UP
+    # to it in µdeg; R starts just above the boundary — quantized they touch
+    l_lat = boundary - 2e-7
+    a = spark.createDataFrame([(1, l_lat, -3.31, l_lat, -3.29)], schema)
+    b = spark.createDataFrame(
+        [(2, boundary + 1e-7, -3.30, boundary + 0.002, -3.30)], schema
+    )
+    got = [tuple(r) for r in segment_intersection_join(a, b, res=res).collect()]
+    # the quantized geometries share the point (round both lats to µdeg)
+    assert round(l_lat * 1e6) == round((boundary + 1e-7) * 1e6)
+    assert got == [(1, 2)]
