@@ -1340,6 +1340,89 @@ FROM pstats p LEFT JOIN vstats v USING (user_id)
 """
 
 
+SSSP_ROUNDS = 8
+
+
+def q_transit_reach(spark, sf):
+    """Multi-source shortest paths (operators/graph.py, fixed-round
+    integer Bellman-Ford): the distinct segments traversed by event
+    trajectories form a street graph (mm haversine weights); distances
+    from the minimum node = the K-hop transit-reach isochrone. Edges
+    shuffle once (persisted pre-partitioned); only the dist table
+    exchanges per round."""
+    from osm_pt_validator_spark.operators.graph import shortest_paths
+    from osm_pt_validator_spark.spatial.trajectory import shared_segments
+
+    segs = shared_segments(
+        _traj_points(spark, sf), "user_id", ["ts", "event_id"], min_trajs=1
+    )
+    key = lambda la, lo: F.col(la) * F.lit(10_000_000_000) + F.col(lo)  # noqa: E731
+    mm = F.round(
+        _hav_mm_expr(
+            F.col("la1") / 1e6, F.col("lo1") / 1e6,
+            F.col("la2") / 1e6, F.col("lo2") / 1e6,
+        )
+        * 1000.0
+    ).cast("long")
+    edges = segs.select(
+        key("la1", "lo1").alias("src"),
+        key("la2", "lo2").alias("dst"),
+        mm.alias("w_mm"),
+    )
+    sources = edges.agg(
+        F.min(F.least(F.col("src"), F.col("dst"))).alias("node")
+    )
+    return shortest_paths(
+        edges, sources, rounds=SSSP_ROUNDS, directed=False
+    )
+
+
+def _hav_mm_expr(lat1, lon1, lat2, lon2):
+    from osm_pt_validator_spark.functions.geo import haversine_m
+
+    return haversine_m(lat1, lon1, lat2, lon2)
+
+
+def _sql_transit_reach() -> str:
+    hav = _sql_haversine(
+        "(la1 / 1000000.0)", "(lo1 / 1000000.0)",
+        "(la2 / 1000000.0)", "(lo2 / 1000000.0)",
+    )
+    rounds = []
+    for r in range(1, SSSP_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        rounds.append(
+            f"d{r} AS (SELECT node, CAST(MIN(dist_mm) AS BIGINT) AS dist_mm FROM ("
+            f"SELECT node, dist_mm FROM {prev}"
+            f" UNION ALL SELECT e.dst AS node, {prev}.dist_mm + e.w_mm AS dist_mm"
+            f" FROM {prev} JOIN e ON {prev}.node = e.src) GROUP BY 1)"
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pts AS ({_SQL_TRAJ_PTS}),
+seq AS (
+  SELECT user_id, la, lo, lead(la) OVER w AS nla, lead(lo) OVER w AS nlo
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, la, lo)),
+segs AS (
+  SELECT DISTINCT
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN la ELSE nla END AS la1,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN lo ELSE nlo END AS lo1,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN nla ELSE la END AS la2,
+    CASE WHEN (la < nla) OR (la = nla AND lo <= nlo) THEN nlo ELSE lo END AS lo2
+  FROM seq WHERE nla IS NOT NULL AND (la != nla OR lo != nlo)),
+w AS (
+  SELECT la1 * 10000000000 + lo1 AS n1, la2 * 10000000000 + lo2 AS n2,
+         CAST(round(({hav}) * 1000.0) AS BIGINT) AS w_mm
+  FROM segs),
+e AS (SELECT n1 AS src, n2 AS dst, w_mm FROM w
+      UNION ALL SELECT n2 AS src, n1 AS dst, w_mm FROM w),
+srcs AS (SELECT MIN(LEAST(src, dst)) AS node FROM e),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist_mm FROM srcs),
+{chain}
+SELECT node, dist_mm FROM d{SSSP_ROUNDS}
+"""
+
+
 # simplify fixture: four hand-derivable polylines at eps=0.8 degrees.
 # Expected outputs below are derived BY HAND (perpendicular distances
 # computed from the cross-product formula on paper), so the oracle is
@@ -4819,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull_membership": wrap(q_convex_hull_membership),
         "shared_segments_events": wrap(q_shared_segments),
         "trajectory_turns": wrap(q_trajectory_turns),
+        "transit_reach": wrap(q_transit_reach),
         "route_simplify": wrap(q_route_simplify),
         "hotspot_clusters_events": wrap(q_hotspot_clusters),
         "compact_cover": wrap(q_compact_cover),
@@ -4934,6 +5018,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull_membership": _sql_convex_hull_membership(),
         "shared_segments_events": SQL_SHARED_SEGMENTS,
         "trajectory_turns": _sql_trajectory_turns(),
+        "transit_reach": _sql_transit_reach(),
         "route_simplify": _sql_route_simplify(),
         "hotspot_clusters_events": SQL_HOTSPOT_CLUSTERS,
         "compact_cover": _sql_compact_cover(),

@@ -1,0 +1,84 @@
+"""Multi-source shortest paths over a weighted edge table —
+fixed-round Bellman-Ford relaxation.
+
+The network question the validator's per-relation checks stop short
+of: how far is every node of the road/route graph from the nearest
+stop / depot / source set ("walk distance to transit", isochrone
+binning, coverage QA)?  PageRank (pagerank.py) and min-label CC
+(clusters.py) cover authority and connectivity; this covers metric
+reachability.
+
+Determinism contract: weights are integer (mm), distances are int64,
+and each round's relaxation is min() over integer candidates — no
+float anywhere, so a chained-CTE SQL oracle replays every round
+bit-for-bit. Iteration count is FIXED like pagerank's (a budgeted
+number of rounds, no convergence probe actions): after K rounds the
+result is EXACTLY "shortest distance using at most K edges" — the
+full shortest path once K >= the graph's hop diameter, and a
+well-defined K-hop isochrone otherwise.
+
+Scale shape (mirrors the other two iterative operators):
+  * the edge table is persisted PRE-PARTITIONED on src: only the
+    (much smaller) frontier/dist table exchanges per round, edges
+    shuffle exactly once;
+  * per-round min() is a map-side-combining long aggregate;
+  * `localCheckpoint(eager=True)` per round truncates lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w_mm",
+    node_col: str = "node",
+    directed: bool = True,
+) -> DataFrame:
+    """(node, dist_mm) — minimum integer distance from ANY source node
+    reachable within ``rounds`` edges. Unreached nodes are absent.
+
+    ``edges``: (src, dst, weight) with non-negative integer weights.
+    ``sources``: one column ``node_col``. With ``directed=False`` each
+    edge also relaxes in reverse.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    if not directed:
+        e = e.union(
+            edges.select(
+                F.col(dst).alias("__s"),
+                F.col(src).alias("__d"),
+                F.col(weight).cast("long").alias("__w"),
+            )
+        )
+    e = e.repartition("__s").persist()
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist_mm"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["__s"]).select(
+            F.col("__d").alias("node"),
+            (F.col("dist_mm") + F.col("__w")).alias("dist_mm"),
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist_mm").alias("dist_mm"))
+            .localCheckpoint(eager=True)
+        )
+        dist = nxt
+    e.unpersist()
+    return dist

@@ -57,6 +57,7 @@ def main() -> None:
         "cms_user_counts",
         "exact_mad",
         "events_cube",
+        "transit_reach",
     ]
     qs = entry.queries()
     spin_before = spin_probe()

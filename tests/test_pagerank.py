@@ -105,3 +105,44 @@ def test_pagerank_oracle_sql_matches_spark(spark):
     )
     want = {int(n): int(r) for n, r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_shortest_paths_vs_python_bellman_ford(spark):
+    from osm_pt_validator_spark.operators.graph import shortest_paths
+
+    # weighted digraph with a shorter multi-hop alternative to a direct
+    # edge, an unreachable node, and two sources
+    E = [
+        (1, 2, 100), (2, 3, 100), (1, 3, 500),  # 1->3 direct loses
+        (3, 4, 50), (10, 11, 7),  # second component from source 10
+        (5, 1, 1),  # edge INTO a source (only matters undirected)
+    ]
+    edges = spark.createDataFrame(E, "src long, dst long, w_mm long")
+    sources = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {
+        r.node: r.dist_mm
+        for r in shortest_paths(edges, sources, rounds=4).collect()
+    }
+
+    import itertools
+
+    dist = {1: 0, 10: 0}
+    for _ in range(4):
+        for s, d, w in E:
+            if s in dist and dist[s] + w < dist.get(d, 1 << 60):
+                dist[d] = dist[s] + w
+    assert got == dist
+    assert got[3] == 200 and got[4] == 250 and got[11] == 7
+    assert 5 not in got  # unreachable in the directed graph
+    # undirected: node 5 is one reverse edge from source 1
+    und = {
+        r.node: r.dist_mm
+        for r in shortest_paths(edges, sources, rounds=4, directed=False).collect()
+    }
+    assert und[5] == 1
+    # K-hop semantics: with rounds=1 only direct neighbors are reached
+    one = {
+        r.node: r.dist_mm
+        for r in shortest_paths(edges, sources, rounds=1).collect()
+    }
+    assert one == {1: 0, 10: 0, 2: 100, 3: 500, 11: 7}
