@@ -997,6 +997,169 @@ FROM ref
 """
 
 
+VITERBI_L = 4  # fixed trajectory length => the oracle DP unrolls
+VITERBI_K = 2
+
+
+def q_viterbi_match(spark, sf):
+    """HMM map matching (spatial/match.py:viterbi_match): per nation,
+    the supplier polyline is the route and the first 4 customers (by
+    key) are a GPS trace; Viterbi picks the candidate path minimizing
+    integer emission (2x dist_mm) + transition (|chainage move - gps
+    move|). Candidates are a set-based top-k rank window; the DP is
+    the sequential engine class (Arrow batches). The oracle UNROLLS
+    the same DP as chained SQL CTEs (possible because the trace length
+    is fixed), including the backtrack — a full semantic replay, not a
+    golden."""
+    from pyspark.sql import Window as W
+
+    from osm_pt_validator_spark.spatial.match import viterbi_match
+    from osm_pt_validator_spark.spatial.proximity import segments_from_polylines
+
+    sv = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("route_id"),
+        F.col("s_suppkey").alias("seq"),
+        _supp_lat(F.col("s_suppkey")).alias("lat"),
+        _supp_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    segs = segments_from_polylines(sv, "route_id", "seq")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    pts = (
+        _t(spark, sf, "customer")
+        .select(
+            F.col("c_nationkey").alias("route_id"),
+            "c_custkey",
+            _cust_lat(F.col("c_custkey")).alias("lat"),
+            _cust_lon(F.col("c_custkey")).alias("lon"),
+            F.row_number().over(w).alias("pseq"),
+        )
+        .filter(F.col("pseq") <= VITERBI_L)
+    )
+    return viterbi_match(
+        pts, segs, "route_id", "c_custkey", "pseq", k=VITERBI_K
+    )
+
+
+def _sql_viterbi_match() -> str:
+    L, K, WE, WT = VITERBI_L, VITERBI_K, 2, 1
+    hav_pts = _sql_haversine("a.qla", "a.qlo", "b.qla", "b.qlo")
+    c_ctes, p_ctes = [], []
+    # forward DP: cN(route, seg_idx, dist_mm, chainage_mm, cost)
+    c_ctes.append(
+        f"c1 AS (SELECT route_id, seg_idx, dist_mm, chainage_mm,"
+        f" dist_mm * {WE} AS cost FROM cand WHERE pseq = 1)"
+    )
+    for i in range(2, L + 1):
+        c_ctes.append(
+            f"c{i} AS (SELECT route_id, seg_idx, dist_mm, chainage_mm,"
+            f" cost + dist_mm * {WE} AS cost FROM ("
+            f"SELECT cur.route_id, cur.seg_idx, cur.dist_mm, cur.chainage_mm,"
+            f" MIN(prev.cost + ABS((cur.chainage_mm - prev.chainage_mm)"
+            f" - mv.move_mm) * {WT}) AS cost"
+            f" FROM (SELECT * FROM cand WHERE pseq = {i}) cur"
+            f" JOIN c{i - 1} prev ON cur.route_id = prev.route_id"
+            f" JOIN mv ON mv.route_id = cur.route_id AND mv.i = {i - 1}"
+            f" GROUP BY 1, 2, 3, 4))"
+        )
+    # backtrack: pick_i = argmin over c_i of (cost + trans to pick_{i+1})
+    p_ctes.append(
+        f"p{L} AS (SELECT route_id, seg_idx, dist_mm, chainage_mm, cost,"
+        f" cost AS path_cost FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY route_id"
+        f" ORDER BY cost ASC, seg_idx ASC) AS rk FROM c{L}) WHERE rk = 1)"
+    )
+    for i in range(L - 1, 0, -1):
+        p_ctes.append(
+            f"p{i} AS (SELECT route_id, seg_idx, dist_mm, chainage_mm, cost,"
+            f" path_cost FROM ("
+            f"SELECT c.route_id, c.seg_idx, c.dist_mm, c.chainage_mm, c.cost,"
+            f" n.path_cost,"
+            f" row_number() OVER (PARTITION BY c.route_id ORDER BY"
+            f" c.cost + ABS((n.chainage_mm - c.chainage_mm) - mv.move_mm) * {WT} ASC,"
+            f" c.seg_idx ASC) AS rk"
+            f" FROM c{i} c JOIN p{i + 1} n ON c.route_id = n.route_id"
+            f" JOIN mv ON mv.route_id = c.route_id AND mv.i = {i}) WHERE rk = 1)"
+        )
+    out_rows = " UNION ALL ".join(
+        f"SELECT route_id, {i} AS pseq, seg_idx, dist_mm, chainage_mm,"
+        f" path_cost FROM p{i}"
+        for i in range(1, L + 1)
+    )
+    return f"""
+WITH sv AS (
+  SELECT s_nationkey AS route_id, s_suppkey AS seq,
+         {_SQL_SUPP_LAT} AS lat, {_SQL_SUPP_LON} AS lon
+  FROM supplier),
+seg AS (
+  SELECT route_id, seq AS seg_idx, lat AS lat1, lon AS lon1,
+         lead(lat) OVER (PARTITION BY route_id ORDER BY seq) AS lat2,
+         lead(lon) OVER (PARTITION BY route_id ORDER BY seq) AS lon2
+  FROM sv),
+seg2 AS (
+  SELECT route_id, seg_idx, lat1, lon1, lat2, lon2,
+    CAST(round(sqrt(
+      (radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0)
+        * (radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0)
+      + (radians(lat2 - lat1) * 6371000.0)
+        * (radians(lat2 - lat1) * 6371000.0)) * 1000.0) AS BIGINT) AS len_mm
+  FROM seg WHERE lat2 IS NOT NULL),
+seg3 AS (
+  SELECT *, CAST(COALESCE(SUM(len_mm) OVER (PARTITION BY route_id
+      ORDER BY seg_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS chain0_mm
+  FROM seg2),
+st AS (
+  SELECT * FROM (
+    SELECT c_nationkey AS route_id, c_custkey,
+           {_SQL_CUST_LAT} AS plat, {_SQL_CUST_LON} AS plon,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
+             AS pseq
+    FROM customer) WHERE pseq <= {L}),
+stq AS (
+  SELECT route_id, c_custkey, pseq, plat, plon,
+         CAST(round(plat * 1e6) AS BIGINT) / 1000000.0 AS qla,
+         CAST(round(plon * 1e6) AS BIGINT) / 1000000.0 AS qlo
+  FROM st),
+mv AS (
+  SELECT a.route_id, a.pseq AS i,
+         CAST(round(({hav_pts}) * 1000.0) AS BIGINT) AS move_mm
+  FROM stq a JOIN stq b ON a.route_id = b.route_id AND b.pseq = a.pseq + 1),
+proj AS (
+  SELECT stq.route_id, stq.c_custkey, stq.pseq,
+         seg3.seg_idx, seg3.chain0_mm,
+    radians(lon2 - lon1) * cos(radians(lat1)) * 6371000.0 AS bx,
+    radians(lat2 - lat1) * 6371000.0 AS by,
+    radians(plon - lon1) * cos(radians(lat1)) * 6371000.0 AS px,
+    radians(plat - lat1) * 6371000.0 AS py
+  FROM stq JOIN seg3 ON stq.route_id = seg3.route_id),
+tt AS (
+  SELECT route_id, c_custkey, pseq, seg_idx, chain0_mm, bx, by, px, py,
+    greatest(0.0, least(1.0, CASE WHEN (bx * bx + by * by) > 0.0
+      THEN (px * bx + py * by) / (bx * bx + by * by) ELSE 0.0 END)) AS t
+  FROM proj),
+cand_all AS (
+  SELECT route_id, c_custkey, pseq,
+    CAST(round({_SQL_PROX_D} * 1000.0) AS BIGINT) AS dist_mm,
+    seg_idx,
+    chain0_mm + CAST(round(t * sqrt(bx * bx + by * by) * 1000.0) AS BIGINT)
+      AS chainage_mm
+  FROM tt),
+cand AS (
+  SELECT route_id, c_custkey, pseq, seg_idx, dist_mm, chainage_mm FROM (
+    SELECT *, row_number() OVER (PARTITION BY route_id, c_custkey
+        ORDER BY dist_mm ASC, seg_idx ASC) AS rk
+    FROM cand_all) WHERE rk <= {K}),
+{", ".join(c_ctes)},
+{", ".join(p_ctes)},
+out_rows AS ({out_rows})
+SELECT o.route_id, s.c_custkey, CAST(o.pseq AS INT) AS seq,
+       o.seg_idx AS matched_seg_idx, o.dist_mm, o.chainage_mm,
+       o.path_cost AS path_cost_mm
+FROM out_rows o JOIN (SELECT DISTINCT route_id, pseq, c_custkey FROM st) s
+  ON o.route_id = s.route_id AND o.pseq = s.pseq
+"""
+
+
 # segment fixtures: short customer/supplier segments with key-derived
 # headings so the two sets genuinely cross
 _SEG_D = 0.0008
@@ -4910,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_heatmap": wrap(q_tile_pyramid),
         "stop_route_proximity": wrap(q_stop_route_proximity),
         "stop_geometry_order": wrap(q_stop_geometry_order),
+        "viterbi_match": wrap(q_viterbi_match),
         "decontaminate": wrap(q_decontaminate),
         "incremental_workset": wrap(q_incremental_workset),
         "tile_vector_bboxes": wrap(q_tile_vector_bboxes),
@@ -5026,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_heatmap": SQL_TILE_PYRAMID,
         "stop_route_proximity": SQL_STOP_ROUTE_PROXIMITY,
         "stop_geometry_order": _sql_stop_geometry_order(),
+        "viterbi_match": _sql_viterbi_match(),
         "decontaminate": SQL_DECONTAMINATE,
         "incremental_workset": SQL_INCREMENTAL_WORKSET,
         "tile_vector_bboxes": _sql_tile_vector(),

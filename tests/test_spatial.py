@@ -1151,3 +1151,92 @@ def test_segment_intersection_cover_uses_quantized_coords(spark):
     # the quantized geometries share the point (round both lats to µdeg)
     assert round(l_lat * 1e6) == round((boundary + 1e-7) * 1e6)
     assert got == [(1, 2)]
+
+
+def _py_viterbi(cands_by_pt, moves, we=2, wt=1):
+    """Independent Viterbi replay: cands_by_pt = [[(seg, emis, chain)]],
+    moves = gps mm between consecutive points."""
+    cost = [c[1] * we for c in cands_by_pt[0]]
+    back = []
+    for i in range(1, len(cands_by_pt)):
+        ncost, nback = [], []
+        for seg, emis, chain in cands_by_pt[i]:
+            best, bidx = None, 0
+            for p, (pseg, _, pchain) in enumerate(cands_by_pt[i - 1]):
+                c = cost[p] + abs((chain - pchain) - moves[i - 1]) * wt
+                if best is None or c < best or (
+                    c == best and pseg < cands_by_pt[i - 1][bidx][0]
+                ):
+                    best, bidx = c, p
+            ncost.append(best + emis * we)
+            nback.append(bidx)
+        cost = ncost
+        back.append(nback)
+    last = min(range(len(cost)), key=lambda c: (cost[c], cands_by_pt[-1][c][0]))
+    picks = [0] * len(cands_by_pt)
+    picks[-1] = last
+    for i in range(len(cands_by_pt) - 1, 0, -1):
+        picks[i - 1] = back[i - 1][picks[i]]
+    return picks, cost[last]
+
+
+def test_viterbi_map_match_beats_nearest_and_replays(spark):
+    from osm_pt_validator_spark.spatial.match import (
+        match_candidates,
+        viterbi_match,
+    )
+    from osm_pt_validator_spark.spatial.proximity import (
+        linear_reference,
+        segments_from_polylines,
+    )
+
+    # out-and-back route: outbound east on lat 55.900 (segs 0-2),
+    # connector north (seg 3), return west on lat 55.902 (segs 4-6)
+    verts = [(1, i, 55.900, -3.300 + i * 0.001) for i in range(4)] + [
+        (1, 4 + i, 55.902, -3.297 - i * 0.001) for i in range(4)
+    ]
+    vdf = spark.createDataFrame(verts, "route_id long, seq long, lat double, lon double")
+    segs = segments_from_polylines(vdf, "route_id", "seq")
+    pts = spark.createDataFrame(
+        [
+            (1, 1, 1, 55.9000, -3.2998),
+            (1, 2, 2, 55.9011, -3.2988),  # noisy: return leg is NEARER
+            (1, 3, 3, 55.9001, -3.2978),
+        ],
+        "route_id long, pid long, ts long, lat double, lon double",
+    )
+    nearest = {r.pid: r.seg_idx for r in linear_reference(pts, segs, "route_id", "pid").collect()}
+    assert nearest[2] >= 4  # nearest-segment jumps to the return leg
+    got = {
+        r.pid: (r.matched_seg_idx, r.dist_mm, r.chainage_mm, r.path_cost_mm)
+        for r in viterbi_match(pts, segs, "route_id", "pid", "ts", k=5).collect()
+    }
+    assert [got[p][0] for p in (1, 2, 3)] == [0, 1, 2]  # stays outbound
+
+    # exact parity with the independent python DP on the engine's own
+    # candidate table
+    cand_rows = match_candidates(pts, segs, "route_id", "pid", k=5).collect()
+    cbp: dict[int, list] = {}
+    for r in cand_rows:
+        cbp.setdefault(r.pid, []).append((r.seg_idx, r.dist_mm, r.chainage_mm))
+    cands = [sorted(cbp[p]) for p in (1, 2, 3)]
+
+    import math
+
+    def mv(a, b):
+        q = lambda v: round(v * 1e6) / 1e6  # noqa: E731
+        la1, lo1, la2, lo2 = q(a[0]), q(a[1]), q(b[0]), q(b[1])
+        dlat, dlon = math.radians(la2 - la1), math.radians(lo2 - lo1)
+        x = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return round(2.0 * 6371000.0 * math.asin(math.sqrt(x)) * 1000.0)
+
+    coords = [(55.9000, -3.2998), (55.9011, -3.2988), (55.9001, -3.2978)]
+    moves = [mv(coords[0], coords[1]), mv(coords[1], coords[2])]
+    picks, total = _py_viterbi(cands, moves)
+    for i, p in enumerate((1, 2, 3)):
+        seg, emis, chain = cands[i][picks[i]]
+        assert got[p] == (seg, emis, chain, total)
