@@ -58,6 +58,7 @@ def main() -> None:
         "exact_mad",
         "events_cube",
         "transit_reach",
+        "viterbi_match",
     ]
     qs = entry.queries()
     spin_before = spin_probe()
