@@ -120,3 +120,133 @@ def test_distance_join_recall_property(spark, left, right, d):
         if _hav(la1, lo1, la2, lo2) <= d
     }
     assert got == want
+
+
+# -- pure geometry: monotone-chain hull invariants ---------------------------
+
+_ipt = st.tuples(
+    st.integers(min_value=-(10**6), max_value=10**6),
+    st.integers(min_value=-(10**6), max_value=10**6),
+)
+
+
+@given(st.lists(_ipt, min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_monotone_chain_hull_invariants(pts):
+    from osm_pt_validator_spark.spatial.hull import monotone_chain
+
+    hull = monotone_chain(pts)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    uniq = set(pts)
+    assert set(hull) <= uniq
+    assert hull[0] == min(uniq)
+    n = len(hull)
+    if n >= 3:
+        for k in range(n):
+            # strictly convex CCW: every turn a strict left turn
+            assert cross(hull[k], hull[(k + 1) % n], hull[(k + 2) % n]) > 0
+        # containment: every input point left-of-or-on every edge
+        for p in uniq:
+            for k in range(n):
+                assert cross(hull[k], hull[(k + 1) % n], p) >= 0
+    else:
+        # all points collinear (or <3 distinct): hull is the 2 extremes
+        assert hull == sorted({min(uniq), max(uniq)})
+        if len(uniq) >= 3:
+            a, b = hull[0], hull[-1]
+            assert all(cross(a, b, p) == 0 for p in uniq)
+    # idempotence: the hull of the hull is the hull
+    assert monotone_chain(hull) == hull
+
+
+# -- pure geometry: segment intersection vs float reference ------------------
+
+_seg = st.tuples(
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=-100, max_value=100),
+)
+
+
+@given(_seg, _seg)
+@settings(max_examples=300, deadline=None)
+def test_segment_cross_predicate_matches_shapely_free_reference(s, t):
+    """The integer orientation predicate agrees with an independent
+    parametric (float) intersection solver on a dense small grid —
+    small coords so the float reference is itself exact."""
+    import itertools
+
+    def int_predicate(p1, p2, q1, q2):
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        def on_seg(a, b, p):
+            return (
+                min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+            )
+
+        d1, d2 = cross(q1, q2, p1), cross(q1, q2, p2)
+        d3, d4 = cross(p1, p2, q1), cross(p1, p2, q2)
+        if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+            (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+        ):
+            return True
+        return (
+            (d1 == 0 and on_seg(q1, q2, p1))
+            or (d2 == 0 and on_seg(q1, q2, p2))
+            or (d3 == 0 and on_seg(p1, p2, q1))
+            or (d4 == 0 and on_seg(p1, p2, q2))
+        )
+
+    def sample_reference(p1, p2, q1, q2):
+        # shared-point reference by exhaustive rational sampling: the
+        # segments share a point iff the parametric equations admit a
+        # common solution; check via fine fractional sweep + exact
+        # endpoint/collinear handling using Fraction arithmetic
+        from fractions import Fraction
+
+        def at(a, b, t):
+            return (
+                Fraction(a[0]) + t * (b[0] - a[0]),
+                Fraction(a[1]) + t * (b[1] - a[1]),
+            )
+
+        # solve with exact rationals: cross-based solve of p1+u*(p2-p1)
+        # = q1+v*(q2-q1)
+        rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+        sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+        denom = rx * sy - ry * sx
+        qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+        if denom != 0:
+            u = Fraction(qpx * sy - qpy * sx, denom)
+            v = Fraction(qpx * ry - qpy * rx, denom)
+            return 0 <= u <= 1 and 0 <= v <= 1
+        # parallel: intersect iff collinear AND parameter ranges overlap
+        if qpx * ry - qpy * rx != 0:
+            return False
+        # collinear: project q endpoints on p's parameter line
+        if rx == 0 and ry == 0:  # p degenerate point
+            if sx == 0 and sy == 0:
+                return (p1 == q1)
+            # is p1 on segment q?
+            t_num = (p1[0] - q1[0]) * sx + (p1[1] - q1[1]) * sy
+            t_den = sx * sx + sy * sy
+            t = Fraction(t_num, t_den)
+            return 0 <= t <= 1 and at(q1, q2, t) == (
+                Fraction(p1[0]),
+                Fraction(p1[1]),
+            )
+        den = rx * rx + ry * ry
+        t0 = Fraction((q1[0] - p1[0]) * rx + (q1[1] - p1[1]) * ry, den)
+        t1 = Fraction((q2[0] - p1[0]) * rx + (q2[1] - p1[1]) * ry, den)
+        lo, hi = min(t0, t1), max(t0, t1)
+        return hi >= 0 and lo <= 1
+
+    p1, p2 = (s[0], s[1]), (s[2], s[3])
+    q1, q2 = (t[0], t[1]), (t[2], t[3])
+    assert int_predicate(p1, p2, q1, q2) == sample_reference(p1, p2, q1, q2)
