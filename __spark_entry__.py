@@ -2546,6 +2546,54 @@ FROM p WHERE len(win) > 0
 """
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_merges(spark, sf):
+    """BPE tokenizer induction (text.bpe_merges): the first 3 merge
+    rules learned from the documents corpus — per round one
+    map-side-combining pair count, one tiny argmax action, one
+    map-only array rewrite (the l != r restriction makes the greedy
+    rewrite per-position algebra, replayed exactly by the oracle's
+    chained CTEs)."""
+    from osm_pt_validator_spark.operators.text import bpe_merges
+
+    return bpe_merges(_t(spark, sf, "documents"), rounds=BPE_ROUNDS)
+
+
+def _sql_bpe_merges() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    ctes = [f"t0 AS (SELECT {toks} AS toks FROM documents)"]
+    outs = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"t{r - 1}"
+        ctes.append(
+            f"c{r} AS (SELECT l, r, COUNT(*) AS n FROM ("
+            f"SELECT toks[i] AS l, toks[i + 1] AS r FROM {prev},"
+            f" UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks))"
+            f" ELSE [] END) AS u(i)) WHERE l != r GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT l, r, n FROM c{r}"
+            f" ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"t{r} AS (SELECT list_filter(list_transform(toks, (x, i) ->"
+            f" CASE WHEN x = m.l AND i < len(toks) AND toks[i + 1] = m.r"
+            f" THEN m.l || '_' || m.r"
+            f" WHEN i > 1 AND toks[i - 1] = m.l AND x = m.r THEN NULL"
+            f" ELSE x END), y -> y IS NOT NULL) AS toks"
+            f" FROM {prev} CROSS JOIN m{r} m)"
+        )
+        outs.append(
+            f"SELECT {r} AS round, l AS left, r AS right,"
+            f" CAST(n AS BIGINT) AS pair_n FROM m{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(outs)
+    )
+
+
 def q_pmi_collocations(spark, sf):
     """PMI collocation mining (operators/text.py:pmi_collocations):
     ONE corpus scan emits (token, successor-or-NULL), so the pair-count
@@ -5086,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": wrap(q_doc_quality),
         "ngram_counts": wrap(q_ngram_counts),
         "pmi_collocations": wrap(q_pmi_collocations),
+        "bpe_merges": wrap(q_bpe_merges),
         "passage_windows": wrap(q_passage_windows),
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
@@ -5259,6 +5308,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_contained": _sql_pip(),
         "ngram_counts": _sql_ngram_counts(),
         "pmi_collocations": _sql_pmi_collocations(),
+        "bpe_merges": _sql_bpe_merges(),
         "passage_windows": _sql_passage_windows(),
         "tfidf_top_terms": _sql_tfidf(),
         # golden VALUES oracles transcribed from the reference's test

@@ -463,3 +463,79 @@ def passage_windows(
         F.size("__w.w").alias("n_tokens"),
         F.array_join("__w.w", " ").alias("passage"),
     )
+
+
+def bpe_merges(
+    documents: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer induction: the first ``rounds`` BPE merge rules
+    learned from the corpus — per round, the most frequent adjacent
+    symbol pair merges corpus-wide (joined with '_', which the base
+    tokenizer never emits) and counting repeats on the rewritten
+    corpus. The core of byte-pair-encoding vocabulary training,
+    restricted to pairs with DISTINCT symbols (l != r): that makes
+    adjacent matches impossible, so the greedy left-to-right rewrite
+    is expressible as pure per-position array algebra (mark, merge,
+    drop-successor) instead of a sequential scan — both the Spark
+    rewrite and the DuckDB oracle replay it exactly.
+
+    Ties break by (count DESC, left ASC, right ASC). Like kmeans'
+    Lloyd rounds, each round runs one tiny driver action (the argmax
+    pair); the corpus-wide work per round is one map-side-combining
+    pair count + one map-only rewrite.
+
+    Output: (round, left, right, pair_n) — the merge table, the
+    artifact a tokenizer trainer persists.
+    """
+    cur = documents.select(tokens(F.col(text_col)).alias("toks"))
+    out_rows: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        m = F.greatest(F.size("toks") - 1, F.lit(0))
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("toks", 1, m),
+                        F.slice("toks", 2, m),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p")
+            )
+            .filter(F.col("p.l") != F.col("p.r"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        out_rows.append((rnd, l, r, n))
+        merged = F.lit(f"{l}_{r}")
+        toks = F.col("toks")
+        rewritten = F.filter(
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    (x == F.lit(l))
+                    & (F.try_element_at(toks, i + 2) == F.lit(r)),
+                    merged,
+                )
+                .when(
+                    (i > 0)
+                    & (F.try_element_at(toks, i) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(x),
+            ),
+            lambda y: y.isNotNull(),
+        )
+        cur = cur.select(rewritten.alias("toks"))
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        out_rows, "round int, left string, right string, pair_n long"
+    )

@@ -59,6 +59,7 @@ def main() -> None:
         "events_cube",
         "transit_reach",
         "viterbi_match",
+        "bpe_merges",
     ]
     qs = entry.queries()
     spin_before = spin_probe()

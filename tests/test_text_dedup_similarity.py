@@ -652,3 +652,50 @@ def test_passage_windows_coverage_and_overlap(spark):
     for r in by_doc[1]:
         covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
     assert covered == set(range(1, 11))
+
+
+def test_bpe_merges_vs_python_replay(spark):
+    import re
+    from collections import Counter
+
+    from osm_pt_validator_spark.operators.text import bpe_merges
+
+    texts = [
+        (1, "the cat sat on the mat the cat ran"),
+        (2, "the cat saw the dog on the mat"),
+        (3, "a a a a"),  # self-pairs excluded from merge candidates
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(docs, rounds=4).orderBy("round").collect()]
+
+    corpus = [
+        [w for w in re.split(r"[^a-zA-Z0-9']+", t.lower()) if w] for _, t in texts
+    ]
+    want = []
+    for rnd in range(1, 5):
+        counts: Counter = Counter()
+        for toks in corpus:
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    counts[(a, b)] += 1
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, l, r, n))
+        new_corpus = []
+        for toks in corpus:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(f"{l}_{r}")
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_corpus.append(out)
+        corpus = new_corpus
+    assert got == want
+    assert got[0][1:3] == ("the", "cat")
+    # the composed symbol participates in later rounds
+    assert any("_" in l or "_" in r for _, l, r, _ in got[1:])
