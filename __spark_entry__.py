@@ -1503,6 +1503,43 @@ FROM pstats p LEFT JOIN vstats v USING (user_id)
 """
 
 
+# OD flows use a wider city-scale grid (0.01-degree steps) so the
+# res-14 cells (~0.011 deg) actually separate the stations
+_OD_LAT = "55.9 + ((event_id * 7) % 8) * 0.01"
+_OD_LON = "-3.3 + ((event_id * 13) % 8) * 0.01"
+
+
+def q_od_flows(spark, sf):
+    """Origin-destination flow matrix (spatial/trajectory.py:od_flows):
+    directional cell-to-cell movement counts from the event
+    trajectories — one traj shuffle, map-side-combining count on the
+    (from, to) key."""
+    from osm_pt_validator_spark.spatial.trajectory import od_flows
+
+    e = _t(spark, sf, "events")
+    pts = e.select(
+        "user_id", "ts", "event_id",
+        (55.9 + ((F.col("event_id") * 7) % 8) * 0.01).alias("lat"),
+        (-3.3 + ((F.col("event_id") * 13) % 8) * 0.01).alias("lon"),
+    )
+    return od_flows(pts, "user_id", ["ts", "event_id"], res=14, min_moves=2)
+
+
+SQL_OD_FLOWS = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+    {_sql_cell(_OD_LAT, _OD_LON, 14)} AS c
+  FROM events),
+seq AS (
+  SELECT user_id, c, lead(c) OVER w AS nc
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, c)),
+mv AS (SELECT c AS cell_from, nc AS cell_to FROM seq
+       WHERE nc IS NOT NULL AND c != nc)
+SELECT cell_from, cell_to, COUNT(*) AS n_moves
+FROM mv GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 SSSP_ROUNDS = 8
 
 
@@ -5009,6 +5046,29 @@ GROUP BY 1
 """
 
 
+def q_retention_cohorts(spark, sf):
+    """Cohort retention matrix (temporal.retention_cohorts): users
+    bucketed by first-activity week, counted in each later week they
+    return — (user, bucket) deduped BEFORE the rollup so the cell
+    count is a plain map-side-combining count, never count-distinct."""
+    from osm_pt_validator_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"), bucket_days=7)
+
+
+SQL_RETENTION_COHORTS = """
+WITH slim AS (
+  SELECT DISTINCT user_id AS u,
+    CAST(floor(CAST(floor(epoch(ts) / 86400) AS BIGINT) / 7) AS BIGINT) AS b
+  FROM events),
+first_b AS (SELECT u, MIN(b) AS cohort FROM slim GROUP BY 1)
+SELECT f.cohort AS cohort_bucket, s.b - f.cohort AS age_buckets,
+       COUNT(*) AS n_users
+FROM slim s JOIN first_b f USING (u)
+GROUP BY 1, 2
+"""
+
+
 def q_exact_mad(spark, sf):
     """Exact per-group median absolute deviation (sketches.
     exact_group_mad): robust spread for outlier rules that 3-sigma
@@ -5112,6 +5172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": wrap(q_segment_intersections),
         "convex_hull_membership": wrap(q_convex_hull_membership),
         "shared_segments_events": wrap(q_shared_segments),
+        "od_flows_events": wrap(q_od_flows),
         "trajectory_turns": wrap(q_trajectory_turns),
         "transit_reach": wrap(q_transit_reach),
         "route_simplify": wrap(q_route_simplify),
@@ -5171,6 +5232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": wrap(q_event_anomalies),
         "exact_median": wrap(q_exact_median),
         "exact_mad": wrap(q_exact_mad),
+        "retention_cohorts": wrap(q_retention_cohorts),
         "funnel_stages": wrap(q_funnel),
         "snapshot_upsert": wrap(q_snapshot_upsert),
         "dup_spans": wrap(q_dup_spans),
@@ -5230,6 +5292,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_intersections": _sql_segment_intersections(),
         "convex_hull_membership": _sql_convex_hull_membership(),
         "shared_segments_events": SQL_SHARED_SEGMENTS,
+        "od_flows_events": SQL_OD_FLOWS,
         "trajectory_turns": _sql_trajectory_turns(),
         "transit_reach": _sql_transit_reach(),
         "route_simplify": _sql_route_simplify(),
@@ -5280,6 +5343,7 @@ def oracle_sql() -> dict[str, str]:
         "event_anomalies": SQL_EVENT_ANOMALIES,
         "exact_median": SQL_EXACT_MEDIAN,
         "exact_mad": SQL_EXACT_MAD,
+        "retention_cohorts": SQL_RETENTION_COHORTS,
         "funnel_stages": SQL_FUNNEL,
         "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
         "dup_spans": _sql_dup_spans(),

@@ -278,3 +278,46 @@ def funnel_stages(
         fold["stage"].alias("stage_reached"),
         fold["done_ts"].alias("completed_epoch"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    bucket (cohort), counted in every later bucket they return in —
+    the canonical product-analytics rollup (row = cohort, column =
+    buckets-since-start, value = distinct returning users).
+
+    Buckets are integer day-epochs divided by ``bucket_days`` (UTC,
+    engine-identical — no calendar arithmetic). Two shuffles: the
+    (user -> first bucket) aggregation and the cohort rollup; the
+    distinct-users count per cell is exact because (user, bucket) is
+    deduplicated BEFORE the rollup, keeping the final agg a plain
+    map-side-combining count.
+
+    Output: key_cols + (cohort_bucket, age_buckets, n_users).
+    age_buckets = 0 is the cohort size itself.
+    """
+    keys = list(key_cols or [])
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+        / F.lit(bucket_days)
+    )
+    bucket = F.floor(bucket).cast("long")
+    slim = events.select(
+        *keys, F.col(user_col).alias("__u"), bucket.alias("__b")
+    ).distinct()
+    first = slim.groupBy(*keys, "__u").agg(F.min("__b").alias("__cohort"))
+    joined = slim.join(first, [*keys, "__u"])
+    return (
+        joined.groupBy(
+            *keys,
+            F.col("__cohort").alias("cohort_bucket"),
+            (F.col("__b") - F.col("__cohort")).alias("age_buckets"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

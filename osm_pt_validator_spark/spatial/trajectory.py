@@ -199,3 +199,55 @@ def turn_profile(
         path_mm.alias("path_mm"),
         mm(first["la"], first["lo"], last["la"], last["lo"]).alias("chord_mm"),
     )
+
+
+def od_flows(
+    points: DataFrame,
+    traj_id: str,
+    order_cols: list[str],
+    res: int = 16,
+    lat: str = "lat",
+    lon: str = "lon",
+    min_moves: int = 1,
+) -> DataFrame:
+    """Origin-destination flow matrix at cell granularity: every
+    consecutive point pair that CHANGES cell contributes one move —
+    the aggregate movement picture (commuter flows, demand modeling)
+    that individual trajectories feed.
+
+    Directional (A->B and B->A are different flows — unlike
+    shared_segments, which is corridor identity). Same physical shape
+    as the other trajectory operators: one traj_id shuffle into sorted
+    arrays, per-row zip for moves, map-side-combining count on the
+    (from, to) key. Output: (cell_from, cell_to, n_moves).
+    """
+    from osm_pt_validator_spark.functions.geo import cell
+
+    slim = points.select(
+        F.col(traj_id),
+        F.struct(
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+            cell(F.col(lat), F.col(lon), res).alias("c"),
+        ).alias("__pt"),
+    )
+    paths = slim.groupBy(traj_id).agg(
+        F.array_sort(F.collect_list("__pt")).alias("p")
+    )
+    m = F.size(F.col("p"))
+    cur = F.slice(F.col("p"), 1, F.greatest(F.lit(0), m - 1))
+    nxt = F.slice(F.col("p"), 2, F.greatest(F.lit(0), m - 1))
+    moves = F.filter(
+        F.zip_with(
+            cur, nxt,
+            lambda a, b: F.struct(
+                a["c"].alias("cell_from"), b["c"].alias("cell_to")
+            ),
+        ),
+        lambda s: s["cell_from"] != s["cell_to"],
+    )
+    return (
+        paths.select(F.explode(moves).alias("mv"))
+        .groupBy(F.col("mv.cell_from").alias("cell_from"), F.col("mv.cell_to").alias("cell_to"))
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+        .filter(F.col("n_moves") >= min_moves)
+    )

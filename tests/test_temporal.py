@@ -216,3 +216,29 @@ def test_funnel_subsecond_order_not_a_tie(spark):
     assert got[1][0] == 2
     assert got[1][1] is None
     assert got[2][0] == 3
+
+
+def test_retention_cohorts_hand_case(spark):
+    from datetime import datetime
+
+    from osm_pt_validator_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, datetime(2026, 1, 1)), (1, datetime(2026, 1, 9)),
+        (2, datetime(2026, 1, 2)), (2, datetime(2026, 1, 3)),  # same bucket twice
+        (3, datetime(2026, 1, 9)), (3, datetime(2026, 1, 23)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_bucket, r.age_buckets): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    base = 2922  # floor(epoch_days/7) for 2026-01-01
+    assert got == {
+        (base, 0): 2,       # users 1 and 2 start in week 0
+        (base, 1): 1,       # user 1 returns next week
+        (base + 1, 0): 1,   # user 3 starts in week 1
+        (base + 1, 2): 1,   # user 3 returns two weeks later
+    }
+    # within-bucket repeat activity never double-counts (user 2)
+    assert got[(base, 0)] == 2
