@@ -509,7 +509,9 @@ def bpe_merges(
         )
         top = pairs.orderBy(
             F.col("n").desc(), F.col("l").asc(), F.col("r").asc()
-        ).limit(1).collect()
+        ).limit(1).collect()  # collect-ok: ONE row per round — the merge rule
+        # must become a literal in the next round's rewrite expression
+        # (the Lloyd-round driver-scalar shape kmeans.py also uses)
         if not top:
             break
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
