@@ -5046,6 +5046,37 @@ GROUP BY 1
 """
 
 
+def q_time_weighted_avg(spark, sf):
+    """Time-weighted average (temporal.time_weighted_avg): the
+    irregular-sampling-correct mean — each reading weighted by how
+    long it held (last-point-carried-forward). Integer cents x whole
+    seconds; one window shuffle + combining agg."""
+    from osm_pt_validator_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf, "events"), ["user_id", "event_type"])
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH slim AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+iv AS (
+  SELECT user_id, event_type, v,
+         lead(t) OVER w - t AS dt
+  FROM slim WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t ASC, v ASC)),
+agg AS (
+  SELECT user_id, event_type, COUNT(*) AS n_intervals,
+         CAST(SUM(dt) AS BIGINT) AS span_s,
+         CAST(SUM(v * dt) AS BIGINT) AS wsum
+  FROM iv WHERE dt IS NOT NULL GROUP BY 1, 2)
+SELECT user_id, event_type, n_intervals, span_s,
+  CAST(round(CAST(wsum AS DOUBLE) / CAST(span_s AS DOUBLE)) AS BIGINT)
+    AS twa_x100
+FROM agg WHERE span_s > 0
+"""
+
+
 def q_retention_cohorts(spark, sf):
     """Cohort retention matrix (temporal.retention_cohorts): users
     bucketed by first-activity week, counted in each later week they
@@ -5233,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_median": wrap(q_exact_median),
         "exact_mad": wrap(q_exact_mad),
         "retention_cohorts": wrap(q_retention_cohorts),
+        "time_weighted_avg": wrap(q_time_weighted_avg),
         "funnel_stages": wrap(q_funnel),
         "snapshot_upsert": wrap(q_snapshot_upsert),
         "dup_spans": wrap(q_dup_spans),
@@ -5344,6 +5376,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_median": SQL_EXACT_MEDIAN,
         "exact_mad": SQL_EXACT_MAD,
         "retention_cohorts": SQL_RETENTION_COHORTS,
+        "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
         "funnel_stages": SQL_FUNNEL,
         "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
         "dup_spans": _sql_dup_spans(),

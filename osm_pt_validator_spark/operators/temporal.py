@@ -321,3 +321,53 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per key — the timeseries mean that is
+    correct for IRREGULARLY sampled state (a sensor reading holds
+    until the next one): each reading is weighted by how long it was
+    current, i.e. sum(value_i * dt_i) / sum(dt_i) over last-point-
+    carried-forward intervals. The plain AVG over-weights bursts.
+
+    Integer contract: values quantize to cents, durations to whole
+    seconds (epoch diffs), and the output is twa_x100 = the
+    cent-weighted integer ratio rounded via half-up on an exact
+    double division of two int64s — engine-identical. The final
+    reading of each key has no successor and contributes no interval
+    (standard TWA-until-last-sample semantics); keys with a single
+    reading are dropped (zero observed duration).
+
+    One shuffle (the per-key window); the final agg combines map-side.
+    Output: key_cols + (n_intervals, span_s, twa_x100).
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    v = _cents_local(F.col(value_col))
+    slim = events.select(
+        *key_cols, epoch.alias("__t"), v.alias("__v")
+    ).withColumn("__nt", F.lead("__t").over(
+        Window.partitionBy(*key_cols).orderBy(F.col("__t").asc(), F.col("__v").asc())
+    ))
+    iv = slim.filter(F.col("__nt").isNotNull()).select(
+        *key_cols,
+        (F.col("__nt") - F.col("__t")).alias("__dt"),
+        F.col("__v"),
+    )
+    agg = iv.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dt").alias("span_s"),
+        F.sum(F.col("__v") * F.col("__dt")).alias("__wsum"),
+    ).filter(F.col("span_s") > 0)
+    twa = F.round(
+        F.col("__wsum").cast("double") / F.col("span_s").cast("double")
+    ).cast("long")
+    return agg.select(*key_cols, "n_intervals", "span_s", twa.alias("twa_x100"))
+
+
+def _cents_local(c):
+    return F.round(c * 100).cast("long")

@@ -62,6 +62,7 @@ def main() -> None:
         "bpe_merges",
         "retention_cohorts",
         "od_flows_events",
+        "time_weighted_avg",
     ]
     qs = entry.queries()
     spin_before = spin_probe()

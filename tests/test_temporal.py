@@ -242,3 +242,21 @@ def test_retention_cohorts_hand_case(spark):
     }
     # within-bucket repeat activity never double-counts (user 2)
     assert got[(base, 0)] == 2
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from datetime import datetime
+
+    from osm_pt_validator_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        ("a", datetime(2026, 1, 1, 0, 0, 0), 10.0),
+        ("a", datetime(2026, 1, 1, 0, 1, 30), 100.0),
+        ("a", datetime(2026, 1, 1, 0, 1, 40), 7.0),  # terminal: no interval
+        ("b", datetime(2026, 1, 1), 5.0),  # single reading: dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r.k: r for r in time_weighted_avg(df, ["k"]).collect()}
+    # 10 held 90s + 100 held 10s over 100s -> 19.00; plain AVG = 39.0
+    assert (out["a"].n_intervals, out["a"].span_s, out["a"].twa_x100) == (2, 100, 1900)
+    assert "b" not in out
