@@ -2583,6 +2583,41 @@ FROM p WHERE len(win) > 0
 """
 
 
+def q_jaccard_join(spark, sf):
+    """Exact set-similarity join (dedup.jaccard_similarity_join,
+    PPJoin-style prefix filtering): lossless all-pairs Jaccard >= 0.5
+    — candidates only from rarity-ordered prefix tokens, never the
+    frequent-token explosion; the brute cross-join DuckDB oracle is
+    the exact ground truth the prefix filter must reproduce."""
+    from osm_pt_validator_spark.operators.dedup import jaccard_similarity_join
+
+    return jaccard_similarity_join(
+        _t(spark, sf, "documents"), threshold=0.5
+    ).select(
+        "doc_a", "doc_b",
+        F.col("inter_n").cast("int").alias("inter_n"),
+        F.col("union_n").cast("int").alias("union_n"),
+        "jac_ppm",
+    )
+
+
+def _sql_jaccard_join(threshold: float = 0.5) -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (SELECT doc_id, list_sort(list_distinct({toks})) AS s FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.s, b.s)) AS inter_n,
+    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(inter_n AS INT) AS inter_n,
+  CAST(union_n AS INT) AS union_n,
+  CAST(round(CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) * 1e6)
+       AS BIGINT) AS jac_ppm
+FROM p WHERE CAST(inter_n AS DOUBLE) >= {threshold!r} * union_n
+"""
+
+
 BPE_ROUNDS = 3
 
 
@@ -5272,6 +5307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_ann_topk": wrap(q_int8_ann_topk),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
+        "jaccard_join": wrap(q_jaccard_join),
         "split_leakage": wrap(q_split_leakage),
         "near_dup_clusters": wrap(q_near_dup_clusters),
         "dedup_clusters_kept": wrap(q_dedup_clusters_kept),
@@ -5383,6 +5419,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": SQL_SOURCE_MIXTURE,
         "int8_ann_topk": SQL_INT8_ANN,
         "minhash_sigs": _sql_minhash(),
+        "jaccard_join": _sql_jaccard_join(),
         "near_dup_pairs": _sql_near_dup(),
         "split_leakage": _sql_split_leakage(),
         "near_dup_clusters": _sql_near_dup_clusters(),

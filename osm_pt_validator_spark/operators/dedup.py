@@ -522,3 +522,93 @@ def duplicated_span_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def jaccard_similarity_join(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold over token SETS via prefix
+    filtering (the PPJoin family) — the exact counterpart of the
+    MinHash-LSH path above: LSH trades recall for speed probabilistically;
+    prefix filtering is lossless (every qualifying pair shares at least
+    one token in the other's prefix), so this is the operator to run
+    when missed duplicates are not acceptable.
+
+    Prefix principle: order each doc's distinct tokens by GLOBAL
+    rarity (df asc, token asc — deterministic); a pair with
+    Jaccard >= t must overlap within the first
+    |s| - ceil(t * |s|) + 1 rarest tokens of each side. Candidates
+    therefore come from an equi-join on prefix tokens (rare tokens =>
+    tiny posting lists; the frequent-token explosion never enters the
+    join), then one exact verify per distinct pair: size filter
+    (|b| between t*|a| and |a|/t) and true Jaccard via
+    array_intersect on the full sorted arrays.
+
+    Shapes: df table = one combining agg; per-doc sorted arrays = one
+    (token df) join + groupBy; candidate join on prefix token; verify
+    map-side. Output: (doc_a, doc_b, inter_n, union_n, jac_ppm) with
+    doc_a < doc_b.
+    """
+    import math as _math
+
+    toks = (
+        documents.select(F.col(id_col).alias("doc"), F.explode(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("tok"))
+    )
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(df_t, "tok").select(
+        "doc", F.struct(F.col("df"), F.col("tok")).alias("__o")
+    )
+    arrs = ranked.groupBy("doc").agg(
+        F.array_sort(F.collect_list("__o")).alias("__so")
+    ).select(
+        "doc",
+        F.transform(F.col("__so"), lambda s: s["tok"]).alias("toks"),
+    )
+    n = F.size("toks")
+    # prefix length: n - ceil(t*n) + 1  (>=1 when n>=1)
+    pref_len = n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1
+    pref = arrs.select(
+        "doc", "toks", n.alias("n"),
+        F.explode(F.slice("toks", 1, pref_len)).alias("ptok"),
+    )
+    a = pref.select(
+        F.col("doc").alias("doc_a"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"), "ptok",
+    )
+    b = pref.select(
+        F.col("doc").alias("doc_b"), F.col("toks").alias("tb"),
+        F.col("n").alias("nb"), "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size bound: jac >= t forces t*na <= nb (and symmetric)
+        .filter(
+            (F.col("nb").cast("double") >= F.col("na") * F.lit(float(threshold)))
+            & (F.col("na").cast("double") >= F.col("nb") * F.lit(float(threshold)))
+        )
+        .select("doc_a", "doc_b", "ta", "tb", "na", "nb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
+    jac_ppm = F.round(
+        inter.cast("double") / union.cast("double") * 1e6
+    ).cast("long")
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            inter.alias("inter_n"),
+            union.alias("union_n"),
+            jac_ppm.alias("jac_ppm"),
+        )
+        .filter(
+            F.col("inter_n").cast("double")
+            >= F.lit(float(threshold)) * F.col("union_n")
+        )
+    )

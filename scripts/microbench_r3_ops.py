@@ -63,6 +63,7 @@ def main() -> None:
         "retention_cohorts",
         "od_flows_events",
         "time_weighted_avg",
+        "jaccard_join",
     ]
     qs = entry.queries()
     spin_before = spin_probe()

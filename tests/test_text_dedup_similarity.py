@@ -699,3 +699,36 @@ def test_bpe_merges_vs_python_replay(spark):
     assert got[0][1:3] == ("the", "cat")
     # the composed symbol participates in later rounds
     assert any("_" in l or "_" in r for _, l, r, _ in got[1:])
+
+
+def test_jaccard_similarity_join_lossless_vs_brute(spark):
+    import itertools
+    import re
+
+    from osm_pt_validator_spark.operators.dedup import jaccard_similarity_join
+
+    # 40 docs drawn from a small vocabulary so near-pairs are plentiful
+    vocab = [f"w{k}" for k in range(12)]
+    texts = [
+        (i, " ".join(vocab[(i + j * j) % 12] for j in range(6)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_n, r.union_n, r.jac_ppm)
+        for r in jaccard_similarity_join(docs, threshold=t).collect()
+    }
+
+    sets = {
+        i: {w for w in re.split(r"[^a-zA-Z0-9']+", s.lower()) if w}
+        for i, s in texts
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter >= t * union:
+            want[(a, b)] = (inter, union, round(inter / union * 1e6))
+    # LOSSLESS: prefix filtering must find every qualifying pair
+    assert got == want and len(want) >= 5
