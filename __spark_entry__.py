@@ -1034,6 +1034,14 @@ def q_viterbi_match(spark, sf):
             F.row_number().over(w).alias("pseq"),
         )
         .filter(F.col("pseq") <= VITERBI_L)
+        # the oracle DP unrolls for EXACTLY L points: a route with
+        # fewer (possible at tiny SFs) would yield engine rows but no
+        # oracle rows — require full-length traces on both sides
+        .withColumn(
+            "__np", F.count(F.lit(1)).over(W.partitionBy("route_id"))
+        )
+        .filter(F.col("__np") == VITERBI_L)
+        .drop("__np")
     )
     return viterbi_match(
         pts, segs, "route_id", "c_custkey", "pseq", k=VITERBI_K
@@ -1109,12 +1117,14 @@ seg3 AS (
       0) AS BIGINT) AS chain0_mm
   FROM seg2),
 st AS (
-  SELECT * FROM (
-    SELECT c_nationkey AS route_id, c_custkey,
-           {_SQL_CUST_LAT} AS plat, {_SQL_CUST_LON} AS plon,
-           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
-             AS pseq
-    FROM customer) WHERE pseq <= {L}),
+  SELECT route_id, c_custkey, plat, plon, pseq FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY route_id) AS np FROM (
+      SELECT c_nationkey AS route_id, c_custkey,
+             {_SQL_CUST_LAT} AS plat, {_SQL_CUST_LON} AS plon,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
+               AS pseq
+      FROM customer) WHERE pseq <= {L})
+  WHERE np = {L}),
 stq AS (
   SELECT route_id, c_custkey, pseq, plat, plon,
          CAST(round(plat * 1e6) AS BIGINT) / 1000000.0 AS qla,
@@ -2604,7 +2614,10 @@ def q_jaccard_join(spark, sf):
 def _sql_jaccard_join(threshold: float = 0.5) -> str:
     toks = _SQL_TOKENS.format(t="text")
     return f"""
-WITH d AS (SELECT doc_id, list_sort(list_distinct({toks})) AS s FROM documents),
+WITH d AS (SELECT doc_id, list_sort(list_distinct({toks})) AS s FROM documents
+           -- token-empty docs never reach the engine's explode; and
+           -- 0/0 Jaccard is undefined anyway
+           WHERE len({toks}) > 0),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     len(list_intersect(a.s, b.s)) AS inter_n,

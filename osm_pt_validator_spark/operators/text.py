@@ -536,7 +536,10 @@ def bpe_merges(
             ),
             lambda y: y.isNotNull(),
         )
-        cur = cur.select(rewritten.alias("toks"))
+        # truncate lineage per round (graph.py/pagerank.py convention):
+        # without this, round r recomputes all r-1 prior rewrites and
+        # the expression tree nests r transforms deep
+        cur = cur.select(rewritten.alias("toks")).localCheckpoint(eager=True)
     spark = documents.sparkSession
     return spark.createDataFrame(
         out_rows, "round int, left string, right string, pair_n long"

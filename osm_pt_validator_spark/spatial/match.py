@@ -44,45 +44,13 @@ def match_candidates(
     k: int = 3,
 ) -> DataFrame:
     """Top-k candidate segments per point: (route_key, stop_key,
-    cand_rank, seg_idx, dist_mm, chainage_mm). Same projection
-    geometry as linear_reference (shared helpers), but keeping k
-    candidates instead of the argmin."""
-    from osm_pt_validator_spark.spatial.proximity import _segment_frame
+    cand_rank, seg_idx, dist_mm, chainage_mm). The candidate
+    projection is proximity.candidate_frame — the SAME expression tree
+    linear_reference argmins over — with a WindowGroupLimit-pruned
+    rank window keeping k candidates instead of one."""
+    from osm_pt_validator_spark.spatial.proximity import candidate_frame
 
-    wseg = Window.partitionBy(route_key).orderBy("seg_idx")
-    seg_geo = _segment_frame(
-        F.lit(0.0), F.lit(0.0),
-        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
-    )
-    segs = segments.select(
-        route_key, "seg_idx", "lat1", "lon1", "lat2", "lon2",
-        F.round(seg_geo["len_m"] * 1000.0).cast("long").alias("__len_mm"),
-    ).withColumn(
-        "__chain0_mm",
-        F.coalesce(
-            F.sum("__len_mm").over(wseg.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("long"),
-        ),
-    )
-    g = _segment_frame(
-        F.col("__plat"), F.col("__plon"),
-        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
-    )
-    cand = (
-        stops.select(
-            route_key, stop_key,
-            F.col("lat").alias("__plat"), F.col("lon").alias("__plon"),
-        )
-        .join(segs, route_key)
-        .select(
-            route_key, stop_key, "seg_idx",
-            F.round(g["dist_m"] * 1000.0).cast("long").alias("dist_mm"),
-            (
-                F.col("__chain0_mm")
-                + F.round(g["t"] * g["len_m"] * 1000.0).cast("long")
-            ).alias("chainage_mm"),
-        )
-    )
+    cand = candidate_frame(stops, segments, route_key, stop_key)
     w = Window.partitionBy(route_key, stop_key).orderBy(
         F.col("dist_mm").asc(), F.col("seg_idx").asc()
     )
@@ -205,7 +173,8 @@ def viterbi_match(
                                 best, bidx = c, p
                         ncost.append(best + emis * we)
                         nback.append(bidx)
-                    cost, _ = ncost, back.append(nback)
+                    cost = ncost
+                    back.append(nback)
                 # backtrack from the min terminal cost (tie: min seg_idx)
                 last = min(
                     range(len(seqs[-1])), key=lambda c: (cost[c], seqs[-1][c][0])

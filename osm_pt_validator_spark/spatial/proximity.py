@@ -153,6 +153,61 @@ def _segment_frame(
     }
 
 
+def candidate_frame(
+    stops: DataFrame,
+    segments: DataFrame,
+    route_key: str,
+    stop_key: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (stop, candidate segment of its route):
+    (route_key, stop_key, carry..., seg_idx, dist_mm, chainage_mm) —
+    the shared candidate projection under BOTH linear_reference
+    (argmin) and spatial/match.py's Viterbi top-k. Keeping it in one
+    place keeps the expression spelling bit-identical for every
+    oracle that replays it (the mm quantization and the prefix-sum
+    chainage must not drift between callers)."""
+    carry = list(carry_cols or [])
+    wseg = Window.partitionBy(route_key).orderBy("seg_idx")
+    seg_geo = _segment_frame(
+        F.lit(0.0), F.lit(0.0),
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+    )
+    segs = segments.select(
+        route_key, "seg_idx", "lat1", "lon1", "lat2", "lon2",
+        F.round(seg_geo["len_m"] * 1000.0).cast("long").alias("__len_mm"),
+    ).withColumn(
+        "__chain0_mm",
+        F.coalesce(
+            F.sum("__len_mm").over(
+                wseg.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    g = _segment_frame(
+        F.col("__plat"), F.col("__plon"),
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+    )
+    return (
+        stops.select(
+            route_key, stop_key, *carry,
+            F.col(lat).alias("__plat"), F.col(lon).alias("__plon"),
+        )
+        .join(segs, route_key)
+        .select(
+            route_key, stop_key, *carry, "seg_idx",
+            F.round(g["dist_m"] * 1000.0).cast("long").alias("dist_mm"),
+            (
+                F.col("__chain0_mm")
+                + F.round(g["t"] * g["len_m"] * 1000.0).cast("long")
+            ).alias("chainage_mm"),
+        )
+    )
+
+
 def linear_reference(
     stops: DataFrame,
     segments: DataFrame,
@@ -179,44 +234,16 @@ def linear_reference(
     one per candidate segment (the k=1 kNN shape).
     """
     carry = list(carry_cols or [])
-    wseg = Window.partitionBy(route_key).orderBy("seg_idx")
-    seg_geo = _segment_frame(
-        F.lit(0.0), F.lit(0.0),
-        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
-    )
-    segs = segments.select(
-        route_key, "seg_idx", "lat1", "lon1", "lat2", "lon2",
-        F.round(seg_geo["len_m"] * 1000.0).cast("long").alias("__len_mm"),
-    ).withColumn(
-        "__chain0_mm",
-        F.coalesce(
-            F.sum("__len_mm").over(
-                wseg.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0).cast("long"),
-        ),
-    )
-    g = _segment_frame(
-        F.col("__plat"), F.col("__plon"),
-        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
-    )
-    cand = (
-        stops.select(
-            route_key, stop_key, *carry,
-            F.col(lat).alias("__plat"), F.col(lon).alias("__plon"),
-        )
-        .join(segs, route_key)
-        .select(
-            route_key, stop_key, *carry,
-            F.struct(
-                F.round(g["dist_m"] * 1000.0).cast("long").alias("dist_mm"),
-                F.col("seg_idx").alias("seg_idx"),
-                (
-                    F.col("__chain0_mm")
-                    + F.round(g["t"] * g["len_m"] * 1000.0).cast("long")
-                ).alias("chainage_mm"),
-            ).alias("__c"),
-        )
+    cand = candidate_frame(
+        stops, segments, route_key, stop_key, lat=lat, lon=lon,
+        carry_cols=carry,
+    ).select(
+        route_key, stop_key, *carry,
+        F.struct(
+            F.col("dist_mm").alias("dist_mm"),
+            F.col("seg_idx").alias("seg_idx"),
+            F.col("chainage_mm").alias("chainage_mm"),
+        ).alias("__c"),
     )
     return (
         cand.groupBy(route_key, stop_key)

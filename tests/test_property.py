@@ -177,8 +177,11 @@ _seg = st.tuples(
 def test_segment_cross_predicate_matches_shapely_free_reference(s, t):
     """The integer orientation predicate agrees with an independent
     parametric (float) intersection solver on a dense small grid —
-    small coords so the float reference is itself exact."""
-    import itertools
+    small coords so the float reference is itself exact. (The PRODUCT
+    Column expression is driven exhaustively in
+    tests/test_spatial.py::test_segments_cross_column_expr_exhaustive_mini_grid;
+    this suite stresses the ALGORITHM on a wider random coordinate
+    range where the rational reference stays exact.)"""
 
     def int_predicate(p1, p2, q1, q2):
         def cross(o, a, b):

@@ -1277,5 +1277,87 @@ def test_od_flows_vs_python_oracle(spark):
             if a != b:
                 want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want and len(want) >= 4
-    # directionality: some reverse flow differs from forward
-    assert any((b, a) in want and want[(b, a)] != c for (a, b), c in want.items()) or True
+    # directionality has teeth: a one-way commuter guarantees an
+    # asymmetric pair (A->B twice, B->A never)
+    one_way = [
+        (100, 0, 55.9, -3.3), (100, 1, 55.95, -3.3),
+        (101, 0, 55.9, -3.3), (101, 1, 55.95, -3.3),
+    ]
+    pts2 = spark.createDataFrame(
+        rows + one_way, "u long, ts long, lat double, lon double"
+    )
+    got2 = {
+        (r.cell_from, r.cell_to): r.n_moves
+        for r in od_flows(pts2, "u", ["ts"], res=res).collect()
+    }
+    a_cell, b_cell = cell_of(55.9, -3.3), cell_of(55.95, -3.3)
+    fwd = got2.get((a_cell, b_cell), 0) - want.get((a_cell, b_cell), 0)
+    rev = got2.get((b_cell, a_cell), 0) - want.get((b_cell, a_cell), 0)
+    assert (fwd, rev) == (2, 0)
+
+
+def test_segments_cross_column_expr_exhaustive_mini_grid(spark):
+    """Drive the PRODUCT _segments_cross Column expression (not a
+    python copy) over an exhaustive mini-grid of segment pairs and
+    compare with the exact-rational reference — one Spark job."""
+    from fractions import Fraction
+    from itertools import product
+
+    from osm_pt_validator_spark.spatial.intersect import _segments_cross
+
+    coords = [-1, 0, 2]
+    segs = list(product(coords, repeat=4))  # 81 segments incl. degenerate
+    pairs = [
+        (i, j, *a, *b)
+        for i, a in enumerate(segs)
+        for j, b in enumerate(segs)
+        if i <= j
+    ]
+    df = spark.createDataFrame(
+        pairs,
+        "i long, j long, p1x long, p1y long, p2x long, p2y long, "
+        "q1x long, q1y long, q2x long, q2y long",
+    )
+    got = {
+        (r.i, r.j): r.hit
+        for r in df.select(
+            "i", "j",
+            _segments_cross(
+                F.col("p1x"), F.col("p1y"), F.col("p2x"), F.col("p2y"),
+                F.col("q1x"), F.col("q1y"), F.col("q2x"), F.col("q2y"),
+            ).alias("hit"),
+        ).collect()
+    }
+
+    def ref(p1, p2, q1, q2):
+        rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+        sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+        den = rx * sy - ry * sx
+        qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+        if den != 0:
+            u = Fraction(qpx * sy - qpy * sx, den)
+            v = Fraction(qpx * ry - qpy * rx, den)
+            return 0 <= u <= 1 and 0 <= v <= 1
+        if qpx * ry - qpy * rx != 0:
+            return False
+        if rx == 0 and ry == 0:
+            if sx == 0 and sy == 0:
+                return p1 == q1
+            t_den = sx * sx + sy * sy
+            t = Fraction((p1[0] - q1[0]) * sx + (p1[1] - q1[1]) * sy, t_den)
+            return (
+                0 <= t <= 1
+                and q1[0] + t * sx == p1[0]
+                and q1[1] + t * sy == p1[1]
+            )
+        den2 = rx * rx + ry * ry
+        t0 = Fraction((q1[0] - p1[0]) * rx + (q1[1] - p1[1]) * ry, den2)
+        t1 = Fraction((q2[0] - p1[0]) * rx + (q2[1] - p1[1]) * ry, den2)
+        return max(t0, t1) >= 0 and min(t0, t1) <= 1
+
+    bad = []
+    for (i, j, *c) in pairs:
+        p1, p2, q1, q2 = (c[0], c[1]), (c[2], c[3]), (c[4], c[5]), (c[6], c[7])
+        if got[(i, j)] != ref(p1, p2, q1, q2):
+            bad.append((p1, p2, q1, q2, got[(i, j)]))
+    assert not bad, bad[:5]
