@@ -94,6 +94,49 @@ def _run_level(cpus: int) -> dict:
     raise RuntimeError(f"worker failed at cpus={cpus}: {out.stderr[-2000:]}")
 
 
+
+def _run_level_probed(cpus: int, off_cores: tuple[int, ...]) -> dict:
+    """_run_level plus a CONCURRENT sidecar probe: while the pinned job
+    runs on cores [0, cpus), a sampler thread pins THIS process to two
+    spare high cores and samples 1-second 2-way capacity every ~5 s.
+    The 2026-08-18 runs showed why brackets are not enough: 8-way
+    bracket probes can agree within 4% while the 8-core leg itself
+    swings 39 -> 57 s — multi-minute host sag INSIDE a leg that only a
+    concurrent sampler can see. Per-leg spread joins the pair gate.
+    """
+    import threading
+
+    from osm_pt_validator_spark.hostprobe import parallel_probe
+
+    samples: list[float] = []
+    stop = threading.Event()
+    full = os.sched_getaffinity(0)
+
+    def sampler() -> None:
+        try:
+            os.sched_setaffinity(0, set(off_cores))
+            while not stop.is_set():
+                samples.append(parallel_probe(len(off_cores), seconds=1.0))
+                stop.wait(4.0)
+        finally:
+            os.sched_setaffinity(0, full)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        r = _run_level(cpus)
+    finally:
+        stop.set()
+        t.join()
+    r["leg_probes_mops"] = [round(x, 1) for x in samples]
+    r["leg_probe_spread"] = (
+        round((max(samples) - min(samples)) / max(samples), 3)
+        if len(samples) >= 2
+        else None
+    )
+    return r
+
+
 def worker(cpus: int) -> None:
     sys.path.insert(0, _REPO)
     from pyspark.sql import functions as F
@@ -227,24 +270,34 @@ def main() -> None:
     # ratio measures the host window, not the engine.
     runs: dict[int, list[dict]] = {n_cpus: [], n4_cpus: []}
     pairs: list[dict] = []
+    n_host = os.cpu_count() or 32
+    off_cores = (n_host - 2, n_host - 1)  # spare high cores for the sidecar
     for _ in range(trials):
         # interleave: 4N first, then N, so slow host windows hit both
         p0 = parallel_probe(n4_cpus)
-        r4 = _run_level(n4_cpus)
+        r4 = _run_level_probed(n4_cpus, off_cores)
         p1 = parallel_probe(n4_cpus)
-        rn = _run_level(n_cpus)
+        rn = _run_level_probed(n_cpus, off_cores)
         p2 = parallel_probe(n4_cpus)
         runs[n4_cpus].append(r4)
         runs[n_cpus].append(rn)
         probes = [p0, p1, p2]
+        bracket_spread = (max(probes) - min(probes)) / max(probes)
+        leg_spreads = [
+            x for x in (r4["leg_probe_spread"], rn["leg_probe_spread"])
+            if x is not None
+        ]
+        stable = bracket_spread <= 0.10 and all(x <= 0.10 for x in leg_spreads)
         e = (rn["t_total"] / r4["t_total"]) / (n4_cpus / n_cpus)
         pairs.append(
             {
                 "probes_mops": probes,
-                "probe_spread": round(
-                    (max(probes) - min(probes)) / max(probes), 3
-                ),
-                "stable": (max(probes) - min(probes)) / max(probes) <= 0.10,
+                "probe_spread": round(bracket_spread, 3),
+                "leg_probe_spread_4n": r4["leg_probe_spread"],
+                "leg_probe_spread_n": rn["leg_probe_spread"],
+                "leg_probes_4n": r4["leg_probes_mops"],
+                "leg_probes_n": rn["leg_probes_mops"],
+                "stable": stable,
                 "t_4n": r4["t_total"],
                 "t_n": rn["t_total"],
                 "efficiency": round(e, 3),
@@ -264,7 +317,7 @@ def main() -> None:
         headline = max(stable_pairs, key=lambda p: min(p["probes_mops"]))
         eff = headline["efficiency"]
         t_n, t_4n = headline["t_n"], headline["t_4n"]
-        basis = "probe-stable pair (spread <= 10%)"
+        basis = "probe-stable pair (bracket AND concurrent in-leg spreads <= 10%)"
     else:
         # no stable window in this run: fall back to best-of-level (the
         # old protocol) and SAY SO — the record is then evidence-weak
