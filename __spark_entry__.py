@@ -1361,8 +1361,10 @@ def q_polyfill_zones(spark, sf):
     return cell_polyfill(polys, res=POLYFILL_RES)
 
 
-def _sql_polyfill_zones() -> str:
-    n = 1 << POLYFILL_RES
+def _sql_polyfill_parts(polys, res: int) -> str:
+    """UNION ALL of per-literal-polygon (polygon_id, cell) polyfill
+    selects — shared by the polyfill oracle and areal interpolation."""
+    n = 1 << res
 
     def idx(v: float, off: float, span: float) -> str:
         return (
@@ -1371,7 +1373,7 @@ def _sql_polyfill_zones() -> str:
         )
 
     parts = []
-    for pid, xs, ys in GEO_POLYS:
+    for pid, xs, ys in polys:
         # center coords in the SAME float-op order as the Spark side
         py = f"((CAST(i AS DOUBLE) + 0.5) / {float(n)!r} * 180.0 - 90.0)"
         px = f"((CAST(j AS DOUBLE) + 0.5) / {float(n)!r} * 360.0 - 180.0)"
@@ -1386,6 +1388,56 @@ def _sql_polyfill_zones() -> str:
             f" WHERE ({parity}) % 2 = 1"
         )
     return " UNION ALL ".join(parts)
+
+
+def _sql_polyfill_zones() -> str:
+    return _sql_polyfill_parts(GEO_POLYS, POLYFILL_RES)
+
+
+# areal interpolation: GEO_POLYS are the sources (with literal values);
+# targets are offset rectangles straddling them
+AREAL_VALUES = {1: 10000, 2: 5000, 3: 7000}
+AREAL_TARGETS = [
+    (10, [-3.295, -3.285, -3.285, -3.295], [55.905, 55.905, 55.915, 55.915]),
+    (20, [-3.270, -3.240, -3.240, -3.270], [55.930, 55.930, 55.970, 55.970]),
+    (30, [-3.190, -3.160, -3.160, -3.190], [55.920, 55.920, 55.950, 55.950]),
+    (40, [-3.100, -3.090, -3.090, -3.100], [55.905, 55.905, 55.915, 55.915]),
+]
+
+
+def q_areal_interpolation(spark, sf):
+    """Areal interpolation (spatial/polyfill.py:areal_interpolation):
+    source-zone values re-aggregated onto a different target partition
+    proportional to shared polyfill cells — polygon x polygon overlap
+    as a pure cell equi-join, integer truncating splits."""
+    from osm_pt_validator_spark.spatial.polyfill import areal_interpolation
+
+    src = spark.createDataFrame(
+        [(pid, xs, ys, AREAL_VALUES[pid]) for pid, xs, ys in GEO_POLYS],
+        "polygon_id long, xs array<double>, ys array<double>, value_c long",
+    )
+    tgt = spark.createDataFrame(
+        AREAL_TARGETS, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    return areal_interpolation(src, tgt, res=POLYFILL_RES)
+
+
+def _sql_areal_interpolation() -> str:
+    vals = ", ".join(f"({pid}, {v})" for pid, v in sorted(AREAL_VALUES.items()))
+    return f"""
+WITH sc AS ({_sql_polyfill_parts(GEO_POLYS, POLYFILL_RES)}),
+tc AS ({_sql_polyfill_parts(AREAL_TARGETS, POLYFILL_RES)}),
+sizes AS (SELECT polygon_id AS src, COUNT(*) AS n_src FROM sc GROUP BY 1),
+vals(src, v) AS (VALUES {vals}),
+shared AS (
+  SELECT sc.polygon_id AS src, tc.polygon_id AS tgt, COUNT(*) AS n_shared
+  FROM sc JOIN tc ON sc.cell = tc.cell GROUP BY 1, 2)
+SELECT tgt AS polygon_id,
+  CAST(SUM((v * n_shared) // n_src) AS BIGINT) AS est_value
+FROM shared JOIN sizes ON shared.src = sizes.src
+JOIN vals ON shared.src = vals.src
+GROUP BY 1
+"""
 
 
 # trajectory fixtures: events walk a coarse 8x8 street grid so distinct
@@ -5248,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_customers": wrap(q_zonal_stats),
         "zone_geometry": wrap(q_zone_geometry),
         "polyfill_zones": wrap(q_polyfill_zones),
+        "areal_interpolation": wrap(q_areal_interpolation),
         "segment_intersections": wrap(q_segment_intersections),
         "convex_hull_membership": wrap(q_convex_hull_membership),
         "shared_segments_events": wrap(q_shared_segments),
@@ -5370,6 +5423,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_customers": _sql_zonal_stats(),
         "zone_geometry": _sql_zone_geometry(),
         "polyfill_zones": _sql_polyfill_zones(),
+        "areal_interpolation": _sql_areal_interpolation(),
         "segment_intersections": _sql_segment_intersections(),
         "convex_hull_membership": _sql_convex_hull_membership(),
         "shared_segments_events": SQL_SHARED_SEGMENTS,

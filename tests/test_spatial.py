@@ -1361,3 +1361,55 @@ def test_segments_cross_column_expr_exhaustive_mini_grid(spark):
         if got[(i, j)] != ref(p1, p2, q1, q2):
             bad.append((p1, p2, q1, q2, got[(i, j)]))
     assert not bad, bad[:5]
+
+
+def test_areal_interpolation_vs_python_oracle(spark):
+    from osm_pt_validator_spark.spatial.polyfill import (
+        areal_interpolation,
+        cell_polyfill,
+    )
+
+    # two source tracts with known values; targets: one fully inside
+    # source 1, one straddling both, one outside everything
+    src = [
+        (1, [-3.300, -3.260, -3.260, -3.300], [55.900, 55.900, 55.940, 55.940], 10_000),
+        (2, [-3.260, -3.220, -3.220, -3.260], [55.900, 55.900, 55.940, 55.940], 5_000),
+    ]
+    tgt = [
+        (10, [-3.295, -3.285, -3.285, -3.295], [55.905, 55.905, 55.915, 55.915]),
+        (20, [-3.270, -3.250, -3.250, -3.270], [55.910, 55.910, 55.930, 55.930]),
+        (30, [-3.100, -3.090, -3.090, -3.100], [55.905, 55.905, 55.915, 55.915]),
+    ]
+    res = 15
+    sdf = spark.createDataFrame(
+        src, "polygon_id long, xs array<double>, ys array<double>, value_c long"
+    )
+    tdf = spark.createDataFrame(
+        tgt, "polygon_id long, xs array<double>, ys array<double>"
+    )
+    got = {
+        r.polygon_id: r.est_value
+        for r in areal_interpolation(sdf, tdf, res=res).collect()
+    }
+
+    # python replay from the ENGINE's own polyfills (polyfill itself is
+    # independently oracled); the arithmetic is replayed independently
+    sc = {}
+    for r in cell_polyfill(sdf.drop("value_c"), res=res).collect():
+        sc.setdefault(r.polygon_id, set()).add(r.cell)
+    tc = {}
+    for r in cell_polyfill(tdf, res=res).collect():
+        tc.setdefault(r.polygon_id, set()).add(r.cell)
+    vals = {1: 10_000, 2: 5_000}
+    want: dict = {}
+    for s_id, s_cells in sc.items():
+        for t_id, t_cells in tc.items():
+            shared = len(s_cells & t_cells)
+            if shared:
+                want[t_id] = want.get(t_id, 0) + (vals[s_id] * shared) // len(s_cells)
+    assert got == want
+    assert 30 not in got and 10 in got and 20 in got
+    # target 20 straddles both sources: both contribute
+    assert got[20] > 0
+    # conservation bound: total transferred never exceeds total value
+    assert sum(got.values()) <= sum(vals.values())
