@@ -507,7 +507,7 @@ def hll_distinct_sql(
     return f"""
 WITH h AS (SELECT {group_expr} AS g,
                   ('0x' || substr(md5({value_expr}), 1, 15))::BIGINT AS hv
-           FROM {table}),
+           FROM {table} WHERE {value_expr} IS NOT NULL),
 split AS (SELECT g, hv >> {w} AS idx, hv & {(1 << w) - 1} AS rest FROM h),
 rho_t AS (SELECT g, idx, CAST({w} - ({bit_len}) + 1 AS INT) AS rho FROM split),
 regs AS (SELECT g, idx, MAX(rho) AS rho FROM rho_t GROUP BY 1, 2),
@@ -598,11 +598,18 @@ def cms_lookup(
                 .alias("idx"),
             )
         )
-    p = probes.select(
-        *group_cols,
-        probe_value.alias("probe"),
-        F.explode(F.array(*pos)).alias("__p"),
-    ).select(*group_cols, "probe", F.col("__p.d").alias("d"), F.col("__p.idx").alias("idx"))
+    p = (
+        # mirror cms_digest's NULL exclusion: NULL is not a countable
+        # value on either side, so a NULL probe is excluded rather than
+        # surfaced as a misleading est_count=0 row
+        probes.filter(probe_value.isNotNull())
+        .select(
+            *group_cols,
+            probe_value.alias("probe"),
+            F.explode(F.array(*pos)).alias("__p"),
+        )
+        .select(*group_cols, "probe", F.col("__p.d").alias("d"), F.col("__p.idx").alias("idx"))
+    )
     joined = p.join(digest, [*group_cols, "d", "idx"], "left").select(
         *group_cols,
         "probe",

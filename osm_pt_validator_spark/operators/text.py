@@ -358,10 +358,31 @@ def pmi_collocations(
 
     Cache lifetime: the vocabulary-bounded pair table is persisted
     (verified: without it Catalyst does NOT reuse the exchange and the
-    corpus is scanned 4x). The cached frame is exposed as
-    ``result._pmi_pair_counts`` — long-lived sessions that call this
-    repeatedly should ``.unpersist()`` it after their action, else the
-    cached blocks pin executor memory until eviction.
+    corpus is scanned 4x). Long-lived sessions should use
+    :func:`pmi_collocations_with_cache`, which returns the persisted
+    pair table as an explicit handle that survives downstream
+    select/filter (a Python attribute on the result would not); call
+    ``handle.unpersist()`` after the action. This convenience wrapper
+    keeps the handle as ``result._pmi_pair_counts`` for back-compat,
+    valid only on the returned object itself.
+    """
+    out, pair_counts = pmi_collocations_with_cache(
+        documents, min_pair_count=min_pair_count, text_col=text_col
+    )
+    out._pmi_pair_counts = pair_counts  # unpersist handle (see docstring)
+    return out
+
+
+def pmi_collocations_with_cache(
+    documents: DataFrame,
+    min_pair_count: int = 5,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`pmi_collocations` plus the persisted pair-count table as
+    an explicit ``(result, cache_handle)`` pair — the handle survives
+    any downstream DataFrame transformation, so callers can
+    ``cache_handle.unpersist()`` deterministically after their action
+    instead of pinning executor memory until LRU eviction.
     """
     toks = tokens(F.col(text_col))
     m = F.size(toks)
@@ -405,8 +426,7 @@ def pmi_collocations(
             .alias("pmi_ppm"),
         )
     )
-    out._pmi_pair_counts = pair_counts  # unpersist handle (see docstring)
-    return out
+    return out, pair_counts
 
 
 def passage_windows(
