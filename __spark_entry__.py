@@ -3058,9 +3058,12 @@ sig AS (SELECT doc_id, list(mh ORDER BY m) AS sig FROM sigrow GROUP BY doc_id),
 banded AS (SELECT doc_id, b.band_idx,
     md5(array_to_string(sig[b.band_idx * 4 + 1 : b.band_idx * 4 + 4], ',')) AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+okb AS (SELECT band_idx, band_hash FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 256),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id > a.doc_id),
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id > a.doc_id
+  JOIN okb o ON o.band_idx = a.band_idx AND o.band_hash = a.band_hash),
 verified AS (SELECT c.doc_a, c.doc_b
   FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
   WHERE round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
@@ -3664,11 +3667,14 @@ sigs AS (
 chunks AS (
   SELECT doc_id, sig, c AS chunk_idx, (sig >> (16*c)) & 65535 AS chunk
   FROM sigs, UNNEST(range(4)) AS t(c)),
+okc AS (SELECT chunk_idx, chunk FROM chunks
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 256),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, a.sig AS sa, b2.sig AS sb
   FROM chunks a
   JOIN chunks b2 ON a.chunk_idx = b2.chunk_idx AND a.chunk = b2.chunk
-                AND a.doc_id < b2.doc_id)
+                AND a.doc_id < b2.doc_id
+  JOIN okc o ON o.chunk_idx = a.chunk_idx AND o.chunk = a.chunk)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
 """

@@ -159,10 +159,16 @@ def _pair_structs(ids_col: str = "ids"):
     )
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
-    """(doc_a < doc_b) pairs co-bucketed on bucket_cols, via ONE
-    groupBy + in-bucket pair expansion — the LSH candidate shape that
-    scans its input once.
+def _bucket_pairs(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(doc_a < doc_b) pairs co-bucketed on bucket_cols, via bucket-size
+    count -> eligibility filter -> in-bucket pair expansion — the LSH
+    candidate shape that scans its input once (persisted slim key
+    table, both aggregations reuse its partitioning).
 
     Why not a self-equi-join: Spark's self-join disambiguation assigns
     fresh expression ids to one side, so the two (identical) subtrees
@@ -171,13 +177,44 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> Data
     TWICE (initial and final plans both). The groupBy form is also the
     natural distribution: the pair count per bucket is k*(k-1)/2 either
     way (the join produces exactly the same rows), but here the corpus
-    is read once and only bucket ids shuffle."""
+    is read once and only bucket ids shuffle.
+
+    max_bucket is the degenerate-bucket guard (same role as
+    duplicated_span_pairs' max_postings): a bucket of b members expands
+    to b*(b-1)/2 pairs INSIDE ONE ROW, so a corpus with millions of
+    identical documents — every band hash equal — would otherwise build
+    a ~10^12-struct array in a single task. Bucket sizes are counted
+    FIRST with a map-side-combining count (no task ever buffers a hot
+    bucket's members), and only buckets in [2, max_bucket] reach the
+    collect + expansion; an over-cap bucket is near-certain
+    exact-duplicate mass, which is exact_duplicates()'s job (the
+    composed corpus_curate pipeline collapses exact dups before LSH
+    for precisely this reason). Pass max_bucket=None to disable.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     ids_sorted = F.array_sort(F.collect_list(F.col(id_col)))
+    if max_bucket is None:
+        grouped = (
+            keyed.groupBy(*bucket_cols)
+            .agg(ids_sorted.alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+    else:
+        k = keyed.repartition(*[F.col(c) for c in bucket_cols]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        eligible = (
+            k.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+            .select(*bucket_cols)
+        )
+        grouped = k.join(eligible, bucket_cols).groupBy(*bucket_cols).agg(
+            ids_sorted.alias("ids")
+        )
     return (
-        keyed.groupBy(*bucket_cols)
-        .agg(ids_sorted.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(_pair_structs("ids")).alias("p"))
+        grouped.select(F.explode(_pair_structs("ids")).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
@@ -188,6 +225,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH band.
 
@@ -196,6 +234,9 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) with in-bucket pair expansion (_bucket_pairs)
     — one corpus scan, one signature computation; at scale the bucket
     sizes are the knob (more bands => higher recall, bigger buckets).
+    Buckets larger than max_bucket are dropped before expansion (see
+    _bucket_pairs — degenerate exact-duplicate mass; run
+    exact_duplicates first, as corpus_curate does).
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
@@ -225,7 +266,9 @@ def minhash_lsh_pairs(
             ).alias("band_idx", "band_hash"),
         )
     )
-    return _bucket_pairs(banded, ["band_idx", "band_hash"], "doc_id")
+    return _bucket_pairs(
+        banded, ["band_idx", "band_hash"], "doc_id", max_bucket=max_bucket
+    )
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
@@ -242,10 +285,11 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard >= threshold.
     Output: (doc_a, doc_b, jaccard)."""
-    pairs = minhash_lsh_pairs(documents, num_hashes, bands, shingle_n)
+    pairs = minhash_lsh_pairs(documents, num_hashes, bands, shingle_n, max_bucket)
     docs_a = documents.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )
@@ -330,12 +374,18 @@ def _simple_tokens(t: str) -> list[str]:
     return [w for w in re.split(r"[^a-zA-Z0-9']+", t.lower()) if w]
 
 
-def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, max_bucket: int = 256
+) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 chunk),
     bucket on (chunk_idx, chunk) via ONE groupBy with in-bucket pair
     expansion (see _bucket_pairs: the self-join form scans the corpus
     and runs the signature UDF twice), verify exact hamming distance.
+    Chunks shared by more than max_bucket documents are dropped before
+    expansion — the same degenerate-bucket guard as _bucket_pairs; the
+    chunk table is counted first (map-side combine) so no task ever
+    buffers a mega-bucket's members.
     Output: (doc_a, doc_b, hamming)."""
     sim = make_simhash_udf(64)
     sigs = documents.select("doc_id", sim(F.col("text")).alias("sig"))
@@ -370,11 +420,31 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
         )
     )
     hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
+    from pyspark.storagelevel import StorageLevel
+
+    if max_bucket is None:
+        grouped = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .agg(members.alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+    else:
+        ch = chunks.repartition(F.col("chunk_idx"), F.col("chunk")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        eligible = (
+            ch.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+            .select("chunk_idx", "chunk")
+        )
+        grouped = (
+            ch.join(eligible, ["chunk_idx", "chunk"])
+            .groupBy("chunk_idx", "chunk")
+            .agg(members.alias("ms"))
+        )
     return (
-        chunks.groupBy("chunk_idx", "chunk")
-        .agg(members.alias("ms"))
-        .filter(F.size("ms") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(pair_structs).alias("p"))
         .select(
             F.col("p.doc_a").alias("doc_a"),
             F.col("p.doc_b").alias("doc_b"),

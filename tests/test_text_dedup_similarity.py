@@ -92,6 +92,55 @@ def test_simhash_near_duplicates(spark, docs):
     assert (1, 5) not in pairs
 
 
+def test_degenerate_bucket_cap_no_oom(spark):
+    """10^5 identical documents: every LSH band bucket / SimHash chunk
+    bucket is one 100k-member mega-bucket; without the max_bucket
+    guard the pair expansion builds ~5e9 structs inside ONE row and
+    OOMs. With the guard the degenerate mass is dropped (that's
+    exact_duplicates' job) while genuine near-dups in the same corpus
+    are still found."""
+    from osm_pt_validator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    n = 100_000
+    mass = spark.range(n).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit(
+            "all rights reserved copyright notice please enable javascript "
+            "to view this site terms of service apply"
+        ).alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and the cat"),
+            (2, "The quick brown fox jumps over the lazy dog and the hen"),
+            (3, "completely different words entirely about spaceships galaxies"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = mass.unionByName(distinct)
+
+    lsh = minhash_lsh_pairs(corpus).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in lsh}
+    # no pair touches the degenerate mass (ids >= 1000)
+    assert all(r.doc_a < 1000 and r.doc_b < 1000 for r in lsh)
+
+    sim = simhash_near_duplicates(corpus, max_hamming=10).collect()
+    assert all(r.doc_a < 1000 and r.doc_b < 1000 for r in sim)
+
+    # cap disabled on a small corpus reproduces the uncapped semantics
+    few = mass.filter(F.col("doc_id") < 1005).unionByName(distinct)
+    capped = {(r.doc_a, r.doc_b) for r in minhash_near_duplicates(few, threshold=0.5).collect()}
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(few, threshold=0.5, max_bucket=None).collect()
+    }
+    assert capped == uncapped and (1000, 1001) in capped
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
