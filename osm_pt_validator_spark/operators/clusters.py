@@ -16,12 +16,20 @@ algorithm, and nothing row-sized ever reaches the driver.
 
 Scale shape (100 TB corpus, ~10^9 near-dup edges):
   * each iteration is one shuffle join (edges x labels, both hashed on
-    the node id) + one map-side-combining min aggregation — no
+    the node id) + one map-side-combining min aggregation + two
+    POINTER-HALVING self-joins of the (node, label) table — no
     all-pairs step anywhere;
-  * iteration count is the label-propagation radius: the number of
-    hops from each component's minimum-id node to its farthest member
-    (<= component diameter). Near-dup components are shallow (dups of
-    one page cluster around it), so 2-5 rounds in practice;
+  * pointer halving (label(v) <- label(label(v)), applied twice per
+    round) bounds the round count at O(log n) instead of O(component
+    diameter): each application composes label chains, so the distance
+    a minimum id travels per round grows geometrically (~3x measured
+    on a path graph) rather than by one hop. Near-dup components are
+    shallow (2-5 rounds either way), but a pathological 10k-long
+    template CHAIN converges in ~9 rounds instead of silently hitting
+    max_iter at 25 (see test_clusters.py's chain fixture). The label
+    table is node-sized — orders of magnitude smaller than the edge
+    table — so the extra self-joins are cheap relative to the edge
+    join they eliminate rounds of;
   * per-iteration `localCheckpoint(eager=True)` truncates the lineage
     — without it the plan doubles every round and the final job
     replays every prior iteration per stage.
@@ -66,18 +74,41 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    def halve(lab: DataFrame) -> DataFrame:
+        # label(v) <- label(label(v)). Invariant-preserving: label(v)
+        # is always a node id in v's component, and label is monotone
+        # non-increasing, so the composition stays in-component and
+        # can only move labels closer to the component minimum. The
+        # left join covers labels pointing at nodes already at their
+        # own minimum (label(u) == u rows are present, so it always
+        # hits, but coalesce keeps the op total).
+        ptr = lab.select(
+            F.col("node").alias("__pn"), F.col("label").alias("__pl")
+        )
+        return (
+            lab.join(ptr, lab["label"] == ptr["__pn"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__pl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     for _ in range(max_iter):
         # labels reaching each node through one hop; groupBy-min folds
         # them with the node's own label (map-side combine applies)
         neighbour = edges.join(
             labels, edges["a"] == labels["node"], "inner"
         ).select(F.col("b").alias("node"), "label")
-        new_labels = (
+        prop = (
             labels.unionByName(neighbour)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # two halvings per round: distance-to-minimum shrinks ~3x per
+        # round on chain graphs => O(log n) rounds total
+        new_labels = halve(halve(prop))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -44,11 +44,33 @@ def test_empty_pairs(spark):
 
 
 def test_max_iter_caps_propagation(spark):
-    # with max_iter=1 the min label travels at most one hop along the
-    # chain — node 3 cannot have seen label 1 yet
-    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    # one round = one propagation hop + two pointer halvings: the min
+    # label travels at most 4 links along a chain, so node 10 of a
+    # 10-chain cannot have seen label 1 after max_iter=1
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
+    )
     got = {r.node: r.component for r in connected_components(df, max_iter=1).collect()}
-    assert got[2] == 1 and got[3] == 2
+    assert got[2] == 1 and got[10] != 1
+    full = {r.node: r.component for r in connected_components(df).collect()}
+    assert all(v == 1 for v in full.values())
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # adversarial chain-shaped component (10k nodes in a line — the
+    # template-chain worst case for plain min-label propagation, which
+    # needs diameter=10^4 rounds). Pointer halving must resolve it
+    # within max_iter=15 (~log-many rounds); if it silently hit the
+    # cap, far-end nodes would keep intermediate labels and the
+    # assertion below fails.
+    n = 10_000
+    df = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    comps = connected_components(df, max_iter=15)
+    distinct = comps.select("component").distinct().collect()
+    assert [r.component for r in distinct] == [0]
+    assert comps.count() == n
 
 
 def test_keep_canonical(spark):
