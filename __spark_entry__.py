@@ -4921,6 +4921,96 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_int8_ivf_topk(spark, sf):
+    """IVF + int8 composition (similarity.int8_ivf_topk): int8 dots
+    computed ONLY inside each query's nprobe inverted lists — the
+    many-query production shape (int8_quantized_topk's crossJoin is the
+    quantized-brute tier). The oracle replays centroids, assignment,
+    probe cells, quantization, integer dots, and both rank stages
+    bit-for-bit."""
+    from osm_pt_validator_spark.operators.similarity import int8_ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = int8_ivf_topk(e, qs, k=5, num_centroids=8, nprobe=3, rescore=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm"),
+        F.round(F.col("approx_sim") * 1e6).cast("long").alias("approx_ppm"),
+    )
+
+
+def _sql_int8_ivf() -> str:
+    """IVF CTE chain (as _sql_ivf_ann) + int8 scoring inside probe
+    cells (as SQL_INT8_ANN), composed."""
+    cos = (
+        "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+        "THEN list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cls AS (
+  SELECT vec_id, v,
+    ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS cid
+  FROM e),
+cdim AS (
+  SELECT cid, i AS dim, AVG(v[i]) AS mx
+  FROM cls, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2),
+cents AS (SELECT cid, list(mx ORDER BY dim) AS cv FROM cdim GROUP BY 1),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT cls.vec_id, cls.v, cents.cid,
+      row_number() OVER (PARTITION BY cls.vec_id
+        ORDER BY {cos.format(a="cls.v", b="cents.cv")} DESC, cents.cid ASC) AS r
+    FROM cls CROSS JOIN cents)
+  WHERE r = 1),
+z AS (SELECT vec_id, v, cid,
+        CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS sc,
+        sqrt(list_dot_product(v, v)) AS nrm,
+        list_transform(v, x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END) + 0.5)) AS q
+      FROM (SELECT vec_id, v, cid, list_max(list_transform(v, x -> abs(x))) AS m FROM assigned)),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q0.query_id, q0.qv, cents.cid,
+      row_number() OVER (PARTITION BY q0.query_id
+        ORDER BY {cos.format(a="q0.qv", b="cents.cv")} DESC, cents.cid ASC) AS r
+    FROM q0 CROSS JOIN cents)
+  WHERE r <= 3),
+qz AS (SELECT query_id, qv, cid,
+         CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS qsc,
+         sqrt(list_dot_product(qv, qv)) AS qnrm,
+         list_transform(qv, x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END) + 0.5)) AS qq
+       FROM (SELECT query_id, qv, cid, list_max(list_transform(qv, x -> abs(x))) AS m FROM probes)),
+ap AS (SELECT qz.query_id, z.vec_id, z.v, qz.qv,
+         round(CASE WHEN ((z.sc * qz.qsc) * z.nrm) * qz.qnrm > 0
+           THEN list_dot_product(z.q, qz.qq) / (((z.sc * qz.qsc) * z.nrm) * qz.qnrm)
+           ELSE 0.0 END, 6) AS approx_sim
+       FROM z JOIN qz USING (cid)),
+cand AS (SELECT query_id, vec_id, v, qv, approx_sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_sim DESC, vec_id ASC) AS cr FROM ap)
+         WHERE cr <= 20),
+ex AS (SELECT query_id, vec_id, approx_sim,
+         round({cos.format(a="v", b="qv")}, 6) AS sim
+       FROM cand),
+r AS (SELECT query_id, vec_id, sim, approx_sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM ex)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+  CAST(round(sim * 1e6) AS BIGINT) AS sim_ppm,
+  CAST(round(approx_sim * 1e6) AS BIGINT) AS approx_ppm
+FROM r WHERE rank <= 5
+"""
+
+
 def q_snapshot_upsert(spark, sf):
     """MERGE-style latest-wins upsert (crawl.snapshot_upsert): even
     event ids play the standing snapshot, odd ids the incoming batch;
@@ -5377,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": wrap(q_dup_spans),
         "source_mixture": wrap(q_source_mixture),
         "int8_ann_topk": wrap(q_int8_ann_topk),
+        "int8_ivf_topk": wrap(q_int8_ivf_topk),
         "minhash_sigs": wrap(q_minhash_sigs),
         "near_dup_pairs": wrap(q_near_dup_pairs),
         "jaccard_join": wrap(q_jaccard_join),
@@ -5491,6 +5582,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "source_mixture": SQL_SOURCE_MIXTURE,
         "int8_ann_topk": SQL_INT8_ANN,
+        "int8_ivf_topk": _sql_int8_ivf(),
         "minhash_sigs": _sql_minhash(),
         "jaccard_join": _sql_jaccard_join(),
         "near_dup_pairs": _sql_near_dup(),

@@ -403,3 +403,91 @@ def ivf_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def int8_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF + int8 composition — the many-query production shape:
+    int8 dot products are computed ONLY inside each query's nprobe
+    inverted lists, never against the whole corpus (the gap that made
+    int8_quantized_topk a quantized-brute tier: its crossJoin scans
+    corpus x queries).
+
+    Plan: centroids (one agg pass, broadcast) -> inverted lists
+    partitioned by centroid_id with int8 codes attached (the stored
+    form a write path would persist) -> per-query nprobe probe cells ->
+    ONE broadcast hash join on centroid_id (probes are
+    queries * nprobe rows — tiny) -> exact-integer int8 scoring with a
+    WindowGroupLimit at k*rescore (losers pruned map-side, before the
+    shuffle) -> exact float64 cosine re-rank to top-k. Per-query cost
+    is nprobe/num_centroids of the corpus at int8 bandwidth, and the
+    only corpus-sized shuffle is the IVF assignment itself.
+
+    All arithmetic is the same IEEE-reproducible contract as
+    int8_quantized_topk / ivf_ann_topk (exact integer dots in doubles,
+    fixed association order, round-6dp-then-rank, ties by id), so a
+    DuckDB oracle replays the full chain bit-for-bit.
+
+    Output: (query_id, vec_id, rank, sim, approx_sim).
+    """
+    cents = deterministic_centroids(embeddings, num_centroids, id_col, vec_col)
+    indexed = ivf_assign(embeddings, cents, id_col, vec_col)
+    coded = with_int8(indexed, vec_col, "__q", "__s").withColumn(
+        "__n", norm(F.col(vec_col))
+    )
+
+    qsim = cosine(F.col(query_vec_col), F.col("centroid_vec"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(broadcast(cents))
+        .withColumn("__csim", qsim)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+    qcoded = broadcast(
+        with_int8(probes, query_vec_col, "__qq", "__qs").withColumn(
+            "__qn", norm(F.col(query_vec_col))
+        )
+    )
+
+    joined = coded.join(qcoded, "centroid_id")
+    idot = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("__qq"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = ((F.col("__s") * F.col("__qs")) * F.col("__n")) * F.col("__qn")
+    approx = F.round(F.when(denom > 0, idot / denom).otherwise(F.lit(0.0)), 6)
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sim").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        joined.select(
+            query_id_col, id_col, vec_col, query_vec_col, approx.alias("approx_sim")
+        )
+        .withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= k * rescore)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.select(query_id_col, id_col, "approx_sim", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

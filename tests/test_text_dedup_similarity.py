@@ -532,6 +532,38 @@ def test_int8_quantized_topk_matches_brute_force(spark, vectors):
     assert all(abs(r["approx_sim"] - r["sim"]) < 0.02 for r in got)
 
 
+def test_int8_ivf_topk_matches_brute_force(spark, vectors):
+    from osm_pt_validator_spark.operators.similarity import (
+        brute_force_topk,
+        int8_ivf_topk,
+    )
+
+    rows, df = vectors
+    queries = df.filter(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+
+    # nprobe == num_centroids probes every inverted list, so the IVF
+    # composition must reduce exactly to the quantized-brute result
+    # (== brute force, given 4x rescore)
+    full = int8_ivf_topk(df, queries, k=5, num_centroids=4, nprobe=4, rescore=4)
+    got = full.collect()
+    assert {(r["query_id"], r["rank"]): r["vec_id"] for r in got} == e
+    assert all(abs(r["approx_sim"] - r["sim"]) < 0.02 for r in got)
+
+    # nprobe < num_centroids: planted near-dups (100, 101 ~ vec 0) land
+    # in vec 0's cell, so its top-2 neighbours survive a partial probe
+    part = int8_ivf_topk(df, queries, k=5, num_centroids=4, nprobe=2, rescore=4)
+    top = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in part.collect()
+        if r["query_id"] == 0 and r["rank"] <= 3
+    }
+    assert set(top.values()) == {0, 100, 101}
+
+
 def test_duplicated_span_pairs_and_boilerplate_cap(spark):
     from osm_pt_validator_spark.operators.dedup import duplicated_span_pairs
 
