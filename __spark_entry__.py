@@ -3249,20 +3249,15 @@ WHERE rnk <= {topk}
 
 def q_cosine_pairs(spark, sf):
     """Embedding-cosine near-dup, brute-force baseline (all pairs above
-    threshold) — exact counterpart of the LSH-bucketed scale path."""
-    from osm_pt_validator_spark.operators.similarity import cosine
+    threshold) — exact counterpart of the LSH-bucketed scale path.
+    BLAS-batched (operators/similarity.cosine_all_pairs): one matmul per
+    Arrow batch vs a broadcast normalized corpus, not N^2 interpreted
+    zip_with/aggregate dots."""
+    from osm_pt_validator_spark.operators.similarity import cosine_all_pairs
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.35)
-        .select(
-            "vec_a", "vec_b", F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm")
-        )
+    return cosine_all_pairs(e, threshold=0.35).select(
+        "vec_a", "vec_b", F.round(F.col("sim") * 1e6).cast("long").alias("sim_ppm")
     )
 
 

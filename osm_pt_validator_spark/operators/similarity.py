@@ -64,6 +64,70 @@ def brute_force_topk(
     )
 
 
+def cosine_all_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force all-pairs cosine above `threshold` — the exactness
+    baseline for the LSH/bucketed near-dup paths. Output:
+    (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded to 6 dp.
+
+    O(N^2) by definition, so it is computed the only way O(N^2) should
+    be: one BLAS matmul per Arrow batch against a broadcast normalized
+    corpus matrix, not N^2 Catalyst expression evaluations (higher-order
+    zip_with/aggregate dots are interpreted, no codegen — ~50x slower).
+    The corpus collect is the sanctioned broadcast-dim materialisation:
+    a brute baseline needs the whole corpus on every task, exactly like
+    brute_force_topk's broadcast of the query matrix. The scale path for
+    large N is cosine_near_dup_pairs / lsh_ann_topk.
+
+    Determinism vs the SQL oracle: both sides compute the same float64
+    cosine; they differ only in dot-product summation order (pairwise
+    BLAS here, sequential fold in SQL), a ~1e-16 relative difference
+    absorbed by the round(·, 6) — a rounded value flips only when the
+    exact cosine sits within ~1e-15 of a 0.5e-6 boundary."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    e = embeddings.select(id_col, vec_col)
+    corpus = e.toPandas()  # collect-ok: broadcast-dim materialisation (brute baseline)
+    ids = corpus[id_col].to_numpy(dtype=np.int64)
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in corpus[vec_col]], dtype=np.float64
+    )
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    normed = np.divide(
+        mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] > 0
+    )
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(normed)
+
+    out_schema = "vec_a long, vec_b long, sim double"
+
+    def gen(batches):
+        bid, bnorm = b_ids.value, b_mat.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            an = np.sqrt((a * a).sum(axis=1))
+            a = np.divide(a, an[:, None], out=np.zeros_like(a), where=an[:, None] > 0)
+            sims = np.round(a @ bnorm.T, 6)
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < bid[None, :])
+            )
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": bid[bi], "sim": sims[ai, bi]}
+            )
+
+    return e.mapInPandas(gen, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN
 # ---------------------------------------------------------------------------

@@ -198,6 +198,27 @@ def test_lsh_ann_finds_near_dups(spark, vectors):
     assert 100 in got
 
 
+def test_cosine_all_pairs_vs_python_oracle(spark, vectors):
+    from osm_pt_validator_spark.operators.similarity import cosine_all_pairs
+
+    rows, emb = vectors
+    got = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_all_pairs(emb, threshold=0.5).collect()
+    }
+    exp = {}
+    for ia, va in rows:
+        for ib, vb in rows:
+            if ia < ib:
+                s = round(_py_cos(va, vb), 6)
+                if s >= 0.5:
+                    exp[(ia, ib)] = s
+    assert set(got) == set(exp)
+    for k, s in exp.items():
+        assert abs(got[k] - s) < 2e-6
+    assert got[(0, 100)] == 1.0  # scaled copy: exactly cosine 1
+
+
 def test_cosine_near_dup_pairs(spark, vectors):
     from osm_pt_validator_spark.operators.similarity import cosine_near_dup_pairs
 
