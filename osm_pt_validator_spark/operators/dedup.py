@@ -646,15 +646,13 @@ def jaccard_similarity_join(
         "doc", "toks", n.alias("n"),
         F.explode(F.slice("toks", 1, pref_len)).alias("ptok"),
     )
-    a = pref.select(
-        F.col("doc").alias("doc_a"), F.col("toks").alias("ta"),
-        F.col("n").alias("na"), "ptok",
-    )
-    b = pref.select(
-        F.col("doc").alias("doc_b"), F.col("toks").alias("tb"),
-        F.col("n").alias("nb"), "ptok",
-    )
-    cand = (
+    # Candidates as NARROW id pairs: the prefix join and the pair-dedup
+    # shuffle only (doc_a, doc_b, na, nb) — the full token arrays are
+    # joined back once per surviving pair, not shipped through the
+    # explode join and deduplicated as wide rows.
+    a = pref.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"), "ptok")
+    b = pref.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"), "ptok")
+    cand_ids = (
         a.join(b, "ptok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # size bound: jac >= t forces t*na <= nb (and symmetric)
@@ -662,8 +660,13 @@ def jaccard_similarity_join(
             (F.col("nb").cast("double") >= F.col("na") * F.lit(float(threshold)))
             & (F.col("na").cast("double") >= F.col("nb") * F.lit(float(threshold)))
         )
-        .select("doc_a", "doc_b", "ta", "tb", "na", "nb")
+        .select("doc_a", "doc_b", "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand_ids
+        .join(arrs.select(F.col("doc").alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
+        .join(arrs.select(F.col("doc").alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.col("na") + F.col("nb") - inter
