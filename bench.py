@@ -367,7 +367,12 @@ def main():
         extras["validation"]["relations"] / timings["validation"], 1
     )
 
-    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    sf = (
+        0.1 if "sf0.1" in sf_dir
+        else 0.01 if "sf0.01" in sf_dir
+        else 1.0 if "sf1" in sf_dir
+        else 0.001
+    )
     print(
         json.dumps(
             {

@@ -74,18 +74,31 @@ _MENTION_OUT_SCHEMA = (
 def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
     """G2: one row per geocoded mention, in document order.
 
-    from_html=True re-extracts text via G1 first (pipeline purity);
-    default uses the stored text column (cheaper scan — html pruned).
+    from_html=True re-extracts text inline via the G1 pandas pipeline
+    (pipeline purity); default uses the stored text column (cheaper
+    scan — html pruned).
+
+    G1+G2 fusion: with from_html the text extraction runs INSIDE this
+    mapInPandas with the exact G1 pandas expressions (byte-identical
+    output — tested vs extract_text_udf), instead of a separate
+    pandas_udf stage. One Python hop instead of two: the big html
+    column crosses the Arrow boundary once and the intermediate text
+    never round-trips JVM->Python->JVM->Python.
     """
-    src = with_extracted_text(pages).select(
-        "url", F.col("extracted_text").alias("text")
-    ) if from_html else pages.select("url", "text")
+    src = (
+        pages.select("url", "html") if from_html else pages.select("url", "text")
+    )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            text = pdf["text"].fillna("")
+            if from_html:
+                text = (
+                    pdf["html"].str.decode("utf-8").str.findall(_P_RE).str.join("\n")
+                )
+            else:
+                text = pdf["text"].fillna("")
             m = text.str.extractall(_MENTION_RE)
             if len(m) == 0:
                 continue
