@@ -1650,11 +1650,16 @@ def _sql_transit_reach() -> str:
         "(la1 / 1000000.0)", "(lo1 / 1000000.0)",
         "(la2 / 1000000.0)", "(lo2 / 1000000.0)",
     )
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous one TWICE (carry + relax), and DuckDB inlines plain
+    # CTEs, re-evaluating the whole chain per reference — 2^rounds
+    # evaluations of the base query (measured: ~25-50 s vs ~0.5 s
+    # materialized at sf0.01).
     rounds = []
     for r in range(1, SSSP_ROUNDS + 1):
         prev = f"d{r - 1}"
         rounds.append(
-            f"d{r} AS (SELECT node, CAST(MIN(dist_mm) AS BIGINT) AS dist_mm FROM ("
+            f"d{r} AS MATERIALIZED (SELECT node, CAST(MIN(dist_mm) AS BIGINT) AS dist_mm FROM ("
             f"SELECT node, dist_mm FROM {prev}"
             f" UNION ALL SELECT e.dst AS node, {prev}.dist_mm + e.w_mm AS dist_mm"
             f" FROM {prev} JOIN e ON {prev}.node = e.src) GROUP BY 1)"
