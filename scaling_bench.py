@@ -257,34 +257,80 @@ def worker(cpus: int) -> None:
 
     import bench
 
+    # Job composition (SPARK_GRAFT_SCALE_JOB):
+    #   full    — extract+join+heatmap AND the validator pipeline (the
+    #             round-3 job; shuffle-bearing, see "control").
+    #   extract — pages extract -> mention parse -> salted cell join ->
+    #             tile heatmap only: the north-rule headline path, and
+    #             the map-dominated shape where local-mode parallelism
+    #             faithfully proxies multi-executor scaling.
+    #   control — VANILLA Spark, zero engine code: a codegen-only agg,
+    #             a high-cardinality groupBy.count shuffle, and a
+    #             collect_list(struct) shuffle. Measured round 4: the
+    #             bare substrate scales at E~0.63-0.73 from 2->8 pinned
+    #             cores (one JVM, one page cache — local-mode shuffle is
+    #             NOT per-executor disks+NICs), which bounds ANY
+    #             shuffle-bearing job's measurable E on this host,
+    #             engine-independent. Reported next to the engine jobs
+    #             so engine-vs-substrate is separable in the record.
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "full")
+
+    def control_leg(scale: int = 1) -> None:
+        spark.range(0, 1_600_000_000 * scale // 8, 1, numPartitions=N_PARTITIONS).select(
+            (F.col("id") * 2654435761 % 2147483648).alias("h")
+        ).agg(F.sum("h")).collect()
+        spark.range(0, 30_000_000 * scale // 8, 1, numPartitions=N_PARTITIONS).groupBy(
+            (F.col("id") % 3_000_000).alias("k")
+        ).count().agg(F.sum("count")).collect()
+        spark.range(0, 8_000_000 * scale // 8, 1, numPartitions=N_PARTITIONS).select(
+            (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+        ).groupBy("k").agg(
+            F.sort_array(F.collect_list(F.struct("v"))).alias("ms")
+        ).select(F.sum(F.size("ms"))).collect()
+
     # Warmup at 1/8 size (python-worker imports, JIT, shuffle buffers);
     # then ONE measured full-size iteration — the steady state a
     # long-running cluster job spends ~100% of its time in. A full-size
     # throwaway iteration would double leg wall for no extra warmth.
     t_warm0 = time.time()
-    bench._N_RELS = max(N_RELS // 8, 10_000)
-    extract_leg(build_pages(max(N_PAGES // 8, 100_000)))
-    bench.bench_validation(spark, "")
+    if job == "control":
+        control_leg(scale=12)
+    else:
+        extract_leg(build_pages(max(N_PAGES // 8, 100_000)))
+        if job == "full":
+            bench._N_RELS = max(N_RELS // 8, 10_000)
+            bench.bench_validation(spark, "")
     t_warm = round(time.time() - t_warm0, 3)
 
-    bench._N_RELS = N_RELS
-    pages = build_pages(N_PAGES)
+    t_extract = t_val = 0.0
+    row = None
+    val_stats: dict = {}
     t0 = time.time()
-    row = extract_leg(pages)
-    t_extract = round(time.time() - t0, 3)
-    t1 = time.time()
-    val_stats = bench.bench_validation(spark, "")
-    t_val = round(time.time() - t1, 3)
+    if job == "control":
+        # sized so the 8-core leg spans ~2 sidecar windows (~100 s) —
+        # shorter legs can't be in-leg certified at the 50 s-window gate
+        control_leg(scale=96)
+    else:
+        pages = build_pages(N_PAGES)
+        row = extract_leg(pages)
+        t_extract = round(time.time() - t0, 3)
+        if job == "full":
+            t1 = time.time()
+            bench._N_RELS = N_RELS
+            val_stats = bench.bench_validation(spark, "")
+            t_val = round(time.time() - t1, 3)
+    t_total = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
                 "cpus": cpus,
+                "job": job,
                 "t_extract": t_extract,
                 "t_val": t_val,
-                "t_total": round(t_extract + t_val, 3),
+                "t_total": t_total,
                 "t_warmup_eighth": t_warm,
-                "join_rows": int(row.n),
-                "tiles": int(row.tiles),
+                "join_rows": int(row.n) if row is not None else 0,
+                "tiles": int(row.tiles) if row is not None else 0,
                 "validation": val_stats,
             }
         )
@@ -382,18 +428,23 @@ def main() -> None:
                     f"t_local{n4_cpus}": t_4n,
                 },
                 "sf": None,
+                "job": os.environ.get("SPARK_GRAFT_SCALE_JOB", "full"),
                 "pages": N_PAGES,
                 "relations": N_RELS,
                 "docs_per_min": {
                     str(c): round(N_PAGES / b["t_extract"] * 60.0, 1)
                     for c, b in best.items()
+                    if b["t_extract"]
                 },
                 "join_rows_per_sec": {
                     str(c): round(b["join_rows"] / b["t_extract"], 1)
                     for c, b in best.items()
+                    if b["t_extract"]
                 },
                 "relations_per_sec": {
-                    str(c): round(N_RELS / b["t_val"], 1) for c, b in best.items()
+                    str(c): round(N_RELS / b["t_val"], 1)
+                    for c, b in best.items()
+                    if b["t_val"]
                 },
                 "trials": {str(c): rs for c, rs in runs.items()},
             }

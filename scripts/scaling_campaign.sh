@@ -16,13 +16,15 @@ set -u
 N=${1:-5}
 PAGES=${2:-6000000}
 RELS=${3:-900000}
+JOB=${4:-full}
 LOG=${SCALING_LOG:-/root/repo/.scaling_v2_r4.log}
 
 for i in $(seq 1 "$N"); do
-  echo "=== campaign pair $i/$N $(date -u +%H:%M:%SZ) ===" >> "$LOG"
+  echo "=== campaign pair $i/$N job=$JOB $(date -u +%H:%M:%SZ) ===" >> "$LOG"
   SPARK_GRAFT_SCALE_TRIALS=1 \
   SPARK_GRAFT_SCALE_PAGES="$PAGES" \
   SPARK_GRAFT_SCALE_RELS="$RELS" \
+  SPARK_GRAFT_SCALE_JOB="$JOB" \
   python /root/repo/scaling_bench.py >> "$LOG" 2>&1
   echo "=== exit $? ===" >> "$LOG"
 done
