@@ -277,7 +277,7 @@ def worker(cpus: int) -> None:
 
     def control_leg(scale: int = 1) -> None:
         spark.range(0, 1_600_000_000 * scale // 8, 1, numPartitions=N_PARTITIONS).select(
-            (F.col("id") * 2654435761 % 2147483648).alias("h")
+            (F.xxhash64("id") % 2147483648).alias("h")
         ).agg(F.sum("h")).collect()
         spark.range(0, 30_000_000 * scale // 8, 1, numPartitions=N_PARTITIONS).groupBy(
             (F.col("id") % 3_000_000).alias("k")
@@ -309,7 +309,7 @@ def worker(cpus: int) -> None:
     if job == "control":
         # sized so the 8-core leg spans ~2 sidecar windows (~100 s) —
         # shorter legs can't be in-leg certified at the 50 s-window gate
-        control_leg(scale=96)
+        control_leg(scale=144)
     else:
         pages = build_pages(N_PAGES)
         row = extract_leg(pages)
