@@ -69,6 +69,7 @@ def cosine_all_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus_rows: int = 2_000_000,
 ) -> DataFrame:
     """Brute-force all-pairs cosine above `threshold` — the exactness
     baseline for the LSH/bucketed near-dup paths. Output:
@@ -81,19 +82,47 @@ def cosine_all_pairs(
     The corpus collect is the sanctioned broadcast-dim materialisation:
     a brute baseline needs the whole corpus on every task, exactly like
     brute_force_topk's broadcast of the query matrix. The scale path for
-    large N is cosine_near_dup_pairs / lsh_ann_topk.
+    large N is cosine_near_dup_pairs / lsh_ann_topk — and the
+    ``max_corpus_rows`` guard ENFORCES the small-corpus precondition:
+    above the bound the driver collect would OOM long before the O(N^2)
+    work even starts, so the call fails fast with a pointer to those
+    paths instead.
 
     Determinism vs the SQL oracle: both sides compute the same float64
     cosine; they differ only in dot-product summation order (pairwise
     BLAS here, sequential fold in SQL), a ~1e-16 relative difference
-    absorbed by the round(·, 6) — a rounded value flips only when the
-    exact cosine sits within ~1e-15 of a 0.5e-6 boundary."""
+    absorbed by the 6-dp rounding — a rounded value flips only when the
+    exact cosine sits within ~1e-15 of a 0.5e-6 boundary. Rounding is
+    half-away-from-zero (floor(|x|*1e6 + 0.5) with the sign restored),
+    the same mode as Spark's F.round HALF_UP and DuckDB's round() —
+    NOT numpy's default round-half-to-even, which could differ by 1 ppm
+    on an exact 0.5e-6 boundary and flip the threshold filter.
+
+    Memory: per task the working set is the broadcast corpus plus one
+    (batch_rows x chunk) float64 sims block and its boolean mask — the
+    corpus side of the matmul is chunked so the block stays ~32 MB
+    regardless of N, instead of the 3x batch_rows x N peak a single
+    full-width matmul (sims + two masks) would allocate."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
     e = embeddings.select(id_col, vec_col)
+    # fail-fast guard: probe at most max_corpus_rows+1 rows (early-stop
+    # scan) rather than a full count of a table we must never collect
+    probed = e.limit(max_corpus_rows + 1).count()
+    if probed > max_corpus_rows:
+        raise ValueError(
+            f"cosine_all_pairs is the brute O(N^2) baseline and collects the "
+            f"corpus to the driver; it found > {max_corpus_rows} rows. Use the "
+            f"bucketed scale paths instead (cosine_near_dup_pairs for "
+            f"all-pairs-above-threshold, lsh_ann_topk / ivf_ann_topk for "
+            f"top-k), or raise max_corpus_rows explicitly."
+        )
     corpus = e.toPandas()  # collect-ok: broadcast-dim materialisation (brute baseline)
+    out_schema = "vec_a long, vec_b long, sim double"
+    if len(corpus) == 0:
+        return spark.createDataFrame([], out_schema)
     ids = corpus[id_col].to_numpy(dtype=np.int64)
     mat = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in corpus[vec_col]], dtype=np.float64
@@ -105,11 +134,12 @@ def cosine_all_pairs(
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(normed)
 
-    out_schema = "vec_a long, vec_b long, sim double"
-
     def gen(batches):
         bid, bnorm = b_ids.value, b_mat.value
+        n_corpus, dim = bnorm.shape
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
@@ -117,13 +147,32 @@ def cosine_all_pairs(
             )
             an = np.sqrt((a * a).sum(axis=1))
             a = np.divide(a, an[:, None], out=np.zeros_like(a), where=an[:, None] > 0)
-            sims = np.round(a @ bnorm.T, 6)
-            ai, bi = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < bid[None, :])
-            )
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": bid[bi], "sim": sims[ai, bi]}
-            )
+            # corpus chunk sized so the sims block is ~4M doubles (32 MB)
+            chunk = max(256, 4_000_000 // len(pdf))
+            for lo in range(0, n_corpus, chunk):
+                sub_ids = bid[lo : lo + chunk]
+                sims = a @ bnorm[lo : lo + chunk].T
+                # candidate superset on RAW sims (1e-6 slack covers any
+                # value that could round UP to the threshold), then the
+                # exact half-away round + filter on the small survivor
+                # vector — never a second batch x chunk float temp
+                mask = sims >= (threshold - 1e-6)
+                mask &= a_ids[:, None] < sub_ids[None, :]
+                ai, bi = np.nonzero(mask)
+                if ai.size == 0:
+                    continue
+                vals = sims[ai, bi]
+                rounded = np.copysign(
+                    np.floor(np.abs(vals) * 1e6 + 0.5) / 1e6, vals
+                )
+                keep = rounded >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai[keep]],
+                        "vec_b": sub_ids[bi[keep]],
+                        "sim": rounded[keep],
+                    }
+                )
 
     return e.mapInPandas(gen, schema=out_schema)
 

@@ -39,6 +39,7 @@ def knn_join(
     build_lat: str = "lat",
     build_lon: str = "lon",
     broadcast_build: bool = True,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Top-k nearest build rows per probe row.
 
@@ -46,6 +47,15 @@ def knn_join(
     composite keys, e.g. ["url", "mention_idx"] for mentions —
     partitioning the rank window by a non-unique key silently keeps
     top-k per key group instead of per row).
+
+    With ``broadcast_build=False`` (a build side too large for the
+    broadcast threshold) the cell equi-join routes through
+    :func:`~osm_pt_validator_spark.spatial.joins.salted_equi_join`:
+    urban cells are Zipfian, so a raw shuffle on cell would pile a hot
+    cell's candidates onto one reducer — the salted path spreads probe
+    rows of measured-hot cells (> ``hot_threshold``, estimated from a
+    seeded sample) across ``salt_factor`` reducers and replicates only
+    the hot build cells.
 
     Output: all probe columns + build_key + distance_m + knn_rank.
     """
@@ -61,9 +71,12 @@ def knn_join(
         cell(F.col(build_lat), F.col(build_lon), res).alias("__cell"),
     )
     if broadcast_build:
-        b = broadcast(b)
+        joined = p.join(broadcast(b), "__cell", "inner")
+    else:
+        from osm_pt_validator_spark.spatial.joins import salted_equi_join
 
-    joined = p.join(b, "__cell", "inner").withColumn(
+        joined = salted_equi_join(p, b, "__cell", hot_threshold=hot_threshold)
+    joined = joined.withColumn(
         "distance_m",
         haversine_m(F.col(probe_lat), F.col(probe_lon), F.col("__blat"), F.col("__blon")),
     )

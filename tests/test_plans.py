@@ -151,6 +151,39 @@ def test_knn_probe_side_broadcasts_ring_dim(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_knn_non_broadcast_path_is_salted(spark):
+    """kNN with broadcast_build=False (build side too big to broadcast)
+    must route the cell equi-join through salted_equi_join: the plan
+    carries the salt explode (Generate of the replication sequence) and
+    joins on (cell, salt) — never a cartesian/nested-loop, and never a
+    raw single-key shuffle a Zipfian hot cell would collapse onto one
+    reducer."""
+    from osm_pt_validator_spark.spatial.knn import knn_join
+
+    mentions = spark.range(2000).select(
+        F.col("id").alias("mention_id"),
+        (F.lit(55.9) + (F.col("id") % 100) * 1e-4).alias("lat"),
+        (F.lit(-3.2) + (F.col("id") % 100) * 1e-4).alias("lon"),
+    )
+    stops = spark.range(500).select(
+        F.col("id").alias("stop_id"),
+        (F.lit(55.9) + F.col("id") * 2e-4).alias("lat"),
+        (F.lit(-3.2) + F.col("id") * 2e-4).alias("lon"),
+    )
+    df = knn_join(
+        mentions, stops, "mention_id", "stop_id", k=2, res=14, ring=1,
+        broadcast_build=False, hot_threshold=10,
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "explode(__salts" in plan, plan  # build-side salt replication
+    assert "__salt" in plan, plan
+    # and the result is still a correct kNN: every probe row keeps <=k
+    counts = df.groupBy("mention_id").count().agg(F.max("count")).collect()
+    assert counts[0][0] <= 2
+
+
 def test_dim_joins_broadcast_small_and_hash_large(spark, tmp_path):
     """The validator dim joins carry NO join hint (a SHUFFLE_HASH hint
     resolves before size-based selection and would forgo broadcast even

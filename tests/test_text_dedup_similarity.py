@@ -219,6 +219,25 @@ def test_cosine_all_pairs_vs_python_oracle(spark, vectors):
     assert got[(0, 100)] == 1.0  # scaled copy: exactly cosine 1
 
 
+def test_cosine_all_pairs_empty_corpus(spark):
+    from osm_pt_validator_spark.operators.similarity import cosine_all_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cosine_all_pairs(empty, threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "sim"]
+
+
+def test_cosine_all_pairs_guards_driver_collect(spark, vectors):
+    import pytest
+
+    from osm_pt_validator_spark.operators.similarity import cosine_all_pairs
+
+    _, emb = vectors
+    with pytest.raises(ValueError, match="cosine_near_dup_pairs"):
+        cosine_all_pairs(emb, threshold=0.5, max_corpus_rows=2)
+
+
 def test_cosine_near_dup_pairs(spark, vectors):
     from osm_pt_validator_spark.operators.similarity import cosine_near_dup_pairs
 
