@@ -2703,10 +2703,17 @@ def q_bpe_merges(spark, sf):
     return bpe_merges(_t(spark, sf, "documents"), rounds=BPE_ROUNDS)
 
 
-def _sql_bpe_merges() -> str:
+def _sql_bpe_ctes() -> list[str]:
+    """Chained BPE trainer CTEs over `documents`: t0 = tokenized corpus
+    (doc_id carried), per round r: c{r} pair counts, m{r} the argmax
+    merge rule, t{r} the rewritten corpus. The t CTEs are MATERIALIZED —
+    each is referenced twice (next round's count AND rewrite), and
+    DuckDB inlines twice-referenced CTEs, which would re-evaluate the
+    whole chain 2^rounds times (the SSSP-oracle lesson)."""
     toks = _SQL_TOKENS.format(t="text")
-    ctes = [f"t0 AS (SELECT {toks} AS toks FROM documents)"]
-    outs = []
+    ctes = [
+        f"t0 AS MATERIALIZED (SELECT doc_id, {toks} AS toks FROM documents)"
+    ]
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"t{r - 1}"
         ctes.append(
@@ -2720,20 +2727,143 @@ def _sql_bpe_merges() -> str:
             f" ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
         )
         ctes.append(
-            f"t{r} AS (SELECT list_filter(list_transform(toks, (x, i) ->"
+            f"t{r} AS MATERIALIZED (SELECT doc_id,"
+            f" list_filter(list_transform(toks, (x, i) ->"
             f" CASE WHEN x = m.l AND i < len(toks) AND toks[i + 1] = m.r"
             f" THEN m.l || '_' || m.r"
             f" WHEN i > 1 AND toks[i - 1] = m.l AND x = m.r THEN NULL"
             f" ELSE x END), y -> y IS NOT NULL) AS toks"
             f" FROM {prev} CROSS JOIN m{r} m)"
         )
-        outs.append(
-            f"SELECT {r} AS round, l AS left, r AS right,"
-            f" CAST(n AS BIGINT) AS pair_n FROM m{r}"
-        )
-    return (
-        "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(outs)
+    return ctes
+
+
+def _sql_bpe_merges() -> str:
+    outs = [
+        f"SELECT {r} AS round, l AS left, r AS right,"
+        f" CAST(n AS BIGINT) AS pair_n FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(_sql_bpe_ctes()) + "\n" + " UNION ALL ".join(outs)
+
+
+def q_bpe_tokenize(spark, sf):
+    """The apply half of the tokenizer loop (text.bpe_apply): train the
+    3-rule merge table, then tokenize the WHOLE corpus with it — one
+    map-only chained array rewrite (zero shuffle; the arrow method is
+    the production shape for 10^4-rule vocabularies). Output one row
+    per (doc, token position) so the oracle value-hash checks every
+    produced token, not just counts."""
+    from osm_pt_validator_spark.operators.text import bpe_apply, bpe_merges
+
+    d = _t(spark, sf, "documents")
+    merges = bpe_merges(d, rounds=BPE_ROUNDS)
+    toked = bpe_apply(d, merges)
+    return toked.select(
+        "doc_id", F.posexplode("toks").alias("token_idx", "token")
+    ).select(
+        "doc_id", F.col("token_idx").cast("int").alias("token_idx"), "token"
     )
+
+
+def _sql_bpe_tokenize() -> str:
+    final = f"t{BPE_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(_sql_bpe_ctes()) + "\n"
+        f"SELECT doc_id, CAST(i - 1 AS INT) AS token_idx, toks[i] AS token"
+        f" FROM {final}, UNNEST(CASE WHEN len(toks) >= 1 THEN"
+        f" range(1, len(toks) + 1) ELSE [] END) AS u(i)"
+    )
+
+
+def q_pack_chunks_bpe(spark, sf):
+    """pack_chunks driven by TRUE token counts: bpe_apply tokenizes the
+    corpus with the trained merge table and its n_tokens feeds the
+    packing layout (closing the gap where packing budgeted on the
+    bpe_ish proxy instead of the tokenizer's actual output)."""
+    from osm_pt_validator_spark.operators.curation import pack_chunks
+    from osm_pt_validator_spark.operators.text import bpe_apply, bpe_merges
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = bpe_merges(d, rounds=BPE_ROUNDS)
+    toked = bpe_apply(d, merges)
+    return pack_chunks(
+        toked.select("doc_id", "n_tokens"),
+        budget=512,
+        num_shards=8,
+        n_tokens_col="n_tokens",
+    )
+
+
+def _sql_pack_chunks_bpe() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    shard = md5_i64_sql("CAST(doc_id AS VARCHAR)", "shard")
+    final = f"t{BPE_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(_sql_bpe_ctes()) + ",\n"
+        f"tt AS (SELECT doc_id, {shard} % 8 AS shard,"
+        f" CAST(len(toks) AS BIGINT) AS n_tokens FROM {final}),\n"
+        "s AS (SELECT doc_id, shard, n_tokens,"
+        " CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        " AS start_tok FROM tt)\n"
+        "SELECT doc_id, shard, n_tokens, start_tok,"
+        " CAST(floor(start_tok / 512.0) AS BIGINT) AS chunk_first,"
+        " CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT) AS chunk_last"
+        " FROM s"
+    )
+
+
+def q_trending_topk(spark, sf):
+    """Batch replay of the streaming trending operator
+    (streaming/trending.py): the SAME streaming_token_counts +
+    top_k_per_window composition, run in batch (withWatermark is a
+    documented no-op on a batch frame) over documents with a
+    synthesized event time. The pytest stream≡batch test proves the
+    STREAMING execution emits exactly these rows for closed windows;
+    this key makes the shared logic driver-oracle-checkable."""
+    from osm_pt_validator_spark.streaming.trending import (
+        streaming_token_counts,
+        top_k_per_window,
+    )
+
+    d = _t(spark, sf, "documents")
+    timed = d.select(
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("doc_id") % 180) * 60
+        ).alias("ts"),
+        "text",
+    )
+    counts = streaming_token_counts(timed, window_duration="10 minutes")
+    return top_k_per_window(counts, k=3).select(
+        F.unix_timestamp("window_start").cast("long").alias("window_epoch"),
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _sql_trending_topk() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+WITH d AS (
+  SELECT (1700000000 + (doc_id % 180) * 60) AS ts_epoch, {toks} AS toks
+  FROM documents),
+tok AS (
+  SELECT ts_epoch // 600 * 600 AS window_epoch, t.token
+  FROM d, UNNEST(toks) AS t(token)),
+c AS (
+  SELECT window_epoch, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+r AS (
+  SELECT window_epoch, token, n,
+    row_number() OVER (PARTITION BY window_epoch
+                       ORDER BY n DESC, token ASC) AS rank
+  FROM c)
+SELECT CAST(window_epoch AS BIGINT) AS window_epoch, token,
+  CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
 
 
 def q_pmi_collocations(spark, sf):
@@ -5424,6 +5554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": wrap(q_ngram_counts),
         "pmi_collocations": wrap(q_pmi_collocations),
         "bpe_merges": wrap(q_bpe_merges),
+        "bpe_tokenize": wrap(q_bpe_tokenize),
+        "pack_chunks_bpe": wrap(q_pack_chunks_bpe),
+        "trending_topk": wrap(q_trending_topk),
         "passage_windows": wrap(q_passage_windows),
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
@@ -5608,6 +5741,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": _sql_ngram_counts(),
         "pmi_collocations": _sql_pmi_collocations(),
         "bpe_merges": _sql_bpe_merges(),
+        "bpe_tokenize": _sql_bpe_tokenize(),
+        "pack_chunks_bpe": _sql_pack_chunks_bpe(),
+        "trending_topk": _sql_trending_topk(),
         "passage_windows": _sql_passage_windows(),
         "tfidf_top_terms": _sql_tfidf(),
         # golden VALUES oracles transcribed from the reference's test

@@ -316,6 +316,76 @@ def png_payload(width: int, height: int) -> bytes:
     )
 
 
+def png_full_payload(
+    width: int, height: int, seed: int = 0, color_type: int = 2
+) -> bytes:
+    """A COMPLETE real PNG (signature, IHDR, IDAT, IEND, valid CRCs):
+    8-bit, non-interlaced, gray (color_type 0) or RGB (2), pixels
+    deterministic from ``seed``, per-row filter types cycling 0..4 so
+    any decoder must implement the full PNG filter set. The filtering
+    here is an independent forward implementation (spec 9) — not the
+    decoder's inverse — so an encode/decode round trip is a real
+    cross-check, not a tautology.
+    """
+    import struct as _s
+    import zlib as _z
+
+    ch = {0: 1, 2: 3}[color_type]
+    stride = width * ch
+
+    def _px(y: int, x: int, c: int) -> int:
+        return (seed * 31 + y * 151 + x * 17 + c * 83) % 256
+
+    raw_rows = [
+        bytes(_px(y, x, c) for x in range(width) for c in range(ch))
+        for y in range(height)
+    ]
+
+    def _pth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    body = bytearray()
+    for y, row in enumerate(raw_rows):
+        f = y % 5
+        body.append(f)
+        prev = raw_rows[y - 1] if y > 0 else bytes(stride)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            cdiag = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) // 2
+            else:
+                pred = _pth(a, up, cdiag)
+            body.append((row[x] - pred) & 0xFF)
+
+    def _chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data))
+            + cid
+            + data
+            + _s.pack(">I", _z.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _z.compress(bytes(body)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def jpeg_payload(width: int, height: int) -> bytes:
     """A minimal REAL JPEG marker stream: SOI, an APP0 segment (so the
     parser must actually walk markers), an SOF0 frame header with the

@@ -82,6 +82,7 @@ def pack_chunks(
     budget: int = 2048,
     num_shards: int = 64,
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing layout: documents are concatenated in
     deterministic order and sliced into fixed `budget`-token chunks;
@@ -96,11 +97,21 @@ def pack_chunks(
     no span (their token interval [start, start) is empty — writers
     identify them by n_tokens == 0) but stay in the output so the
     writer can account for every input row.
+
+    Token budgets come from ``n_tokens_col`` when given — the REAL
+    per-doc token count (e.g. text.bpe_apply's n_tokens after applying
+    a trained merge table); without it the bpe_ish_token_count proxy on
+    the text column is used (no tokenizer required, same plan shape).
     """
+    counted = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else bpe_ish_token_count(F.col("text"))
+    )
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         (md5_i64(F.col(id_col).cast("string"), "shard") % num_shards).alias("shard"),
-        bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+        counted.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

@@ -242,6 +242,196 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec 9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png_pixels(b: bytes) -> "np.ndarray | None":
+    """REAL full PNG pixel decode with stdlib only (zlib inflate +
+    per-scanline unfiltering of all five filter types — PNG spec 9).
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Returns a
+    (height, width, channels) uint8 array (palette expanded to RGB),
+    or None for non-PNG payloads and unsupported variants (16-bit,
+    interlaced, sub-byte palette) — callers route those to the
+    require_real contract.
+
+    Filter 1 (Sub) is a per-channel prefix sum (vectorized cumsum mod
+    256); filters 3/4 (Average/Paeth) are inherently sequential in x
+    and run as a per-byte loop — fine for the fixture scale this
+    container decodes; a production cluster installs a native decoder
+    and this function becomes the header-verified fallback."""
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    import zlib
+
+    w = h = bitd = ct = interlace = None
+    idat = bytearray()
+    plte = None
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        cid = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if len(data) < length:
+            return None
+        if cid == b"IHDR" and length >= 13:
+            w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif cid == b"PLTE":
+            plte = data
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        i += 12 + length
+    if not idat or w is None or w == 0 or h == 0 or bitd != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+    if channels is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            cur = line.reshape(w, channels).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                up = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                pred = (a + up) // 2 if ftype == 3 else _paeth(a, up, c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if ct == 3:
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            return None
+        px = pal[idx]
+    return px
+
+
+RESAMPLE_SCHEMA = (
+    "media_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "channels int, resampled_md5 string, real_decode boolean"
+)
+
+
+def resample_images(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    require_real: bool = False,
+) -> DataFrame:
+    """REAL pixel resample for image payloads: PNG pixels are decoded
+    for real (:func:`_decode_png_pixels` — stdlib zlib + full
+    unfiltering), fit into the aspect-preserving box with the SAME
+    integer arithmetic as :func:`resize_plan`
+    (scale_ppm = min(tw*1e6 div w, th*1e6 div h)), and resampled
+    nearest-neighbor on the exact midpoint grid
+    src_idx = (2*dst_idx + 1) * src_len div (2 * dst_len) — all
+    integer, so the resampled bytes (and their md5, the output key a
+    writer would store the blob under) are engine-reproducible.
+
+    JPEG payloads parse headers for real but have no stdlib DCT
+    decoder: with ``require_real=True`` they raise NotImplementedError
+    (install a real decoder in production); otherwise they fall back to
+    the documented md5 fake tier (real_decode=false marks those rows).
+    Arrow-batched mapInPandas; map-only, zero shuffle.
+    """
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                px = _decode_png_pixels(b)
+                if px is not None:
+                    h, w, ch = px.shape
+                    scale_ppm = min(
+                        target_w * 1_000_000 // w, target_h * 1_000_000 // h
+                    )
+                    dw = max(1, w * scale_ppm // 1_000_000)
+                    dh = max(1, h * scale_ppm // 1_000_000)
+                    ys = [(2 * y + 1) * h // (2 * dh) for y in range(dh)]
+                    xs = [(2 * x + 1) * w // (2 * dw) for x in range(dw)]
+                    resampled = px[np.ix_(ys, xs)]
+                    digest = hashlib.md5(resampled.tobytes()).hexdigest()
+                    rows.append(
+                        (int(media_id), w, h, dw, dh, ch, digest, True)
+                    )
+                    continue
+                parsed = _parse_png(b) or _parse_jpeg(b)
+                if require_real and not _real_decode_available():
+                    raise NotImplementedError(
+                        "image payload has no stdlib-decodable pixel data "
+                        "(full PNG required; JPEG needs a DCT decoder such "
+                        "as PIL, which is not installed); rerun with "
+                        "require_real=False for the deterministic fake tier"
+                    )
+                if parsed is not None:
+                    w, h = parsed
+                else:
+                    w, h, _d, _f = _fake_decode(b, "image")
+                if w <= 0 or h <= 0:
+                    continue
+                scale_ppm = min(
+                    target_w * 1_000_000 // w, target_h * 1_000_000 // h
+                )
+                dw = max(1, w * scale_ppm // 1_000_000)
+                dh = max(1, h * scale_ppm // 1_000_000)
+                digest = hashlib.md5(
+                    f"{b.hex().upper()}|{dw}x{dh}".encode()
+                ).hexdigest()
+                rows.append((int(media_id), w, h, dw, dh, 0, digest, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "dst_w", "dst_h",
+                    "channels", "resampled_md5", "real_decode",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(_resample, schema=RESAMPLE_SCHEMA)
+
+
 FEATURES_SCHEMA = (
     "media_id long, bucket int, cnt long, ppm long, entropy_ubits long"
 )

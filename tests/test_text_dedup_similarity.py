@@ -247,6 +247,93 @@ def test_cosine_near_dup_pairs(spark, vectors):
     assert (0, 101) in pairs
 
 
+def test_png_pixel_decode_hand_computed_paeth():
+    """Real PNG decode against a BY-HAND worked example (not a round
+    trip): 2x2 gray, row0 filter None raw [10,20], row1 filter Paeth
+    filtered [5,7] — spec arithmetic gives pixels [[10,20],[15,27]]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from osm_pt_validator_spark.operators.multimodal import _decode_png_pixels
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x0a\x14\x04\x05\x07")
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    )
+    px = _decode_png_pixels(b)
+    assert px is not None and px.shape == (2, 2, 1)
+    assert np.array_equal(px[:, :, 0], np.array([[10, 20], [15, 27]]))
+
+
+def test_png_pixel_decode_roundtrip_all_filters():
+    """png_full_payload (independent forward filtering, rows cycle
+    filters 0..4) must decode to the exact generator-formula pixels for
+    gray AND RGB."""
+    import numpy as np
+
+    from osm_pt_validator_spark.fixtures import png_full_payload
+    from osm_pt_validator_spark.operators.multimodal import _decode_png_pixels
+
+    for ct, ch in ((0, 1), (2, 3)):
+        px = _decode_png_pixels(png_full_payload(5, 7, seed=3, color_type=ct))
+        assert px is not None and px.shape == (7, 5, ch)
+        want = np.array(
+            [
+                [[(3 * 31 + y * 151 + x * 17 + c * 83) % 256 for c in range(ch)]
+                 for x in range(5)]
+                for y in range(7)
+            ],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(px, want), ct
+
+
+def test_resample_images_real_pixels_and_require_real(spark):
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from osm_pt_validator_spark.fixtures import jpeg_payload, png_full_payload
+    from osm_pt_validator_spark.operators.multimodal import (
+        _decode_png_pixels,
+        resample_images,
+    )
+
+    png = png_full_payload(4, 4, seed=1)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), {}),
+            (2, "image", bytearray(jpeg_payload(10, 8)), {}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = {r.media_id: r for r in resample_images(media, 2, 2).collect()}
+    r1 = out[1]
+    assert (r1.src_w, r1.src_h, r1.dst_w, r1.dst_h, r1.channels) == (4, 4, 2, 2, 3)
+    assert r1.real_decode
+    px = _decode_png_pixels(png)
+    want = hashlib.md5(px[np.ix_([1, 3], [1, 3])].tobytes()).hexdigest()
+    assert r1.resampled_md5 == want
+    r2 = out[2]
+    assert (r2.src_w, r2.src_h, r2.dst_w, r2.dst_h) == (10, 8, 2, 1)
+    assert not r2.real_decode
+
+    # require_real: full PNG passes (REAL pixel decode), JPEG raises
+    ok = resample_images(media.filter(F.col("media_id") == 1), 2, 2,
+                         require_real=True).collect()
+    assert len(ok) == 1 and ok[0].real_decode
+    with pytest.raises(Exception, match="DCT decoder|require_real"):
+        resample_images(media.filter(F.col("media_id") == 2), 2, 2,
+                        require_real=True).collect()
+
+
 def test_multimodal_stub_plumbing(spark):
     from osm_pt_validator_spark.operators.multimodal import (
         decode_media,
@@ -820,6 +907,82 @@ def test_bpe_merges_vs_python_replay(spark):
     assert got[0][1:3] == ("the", "cat")
     # the composed symbol participates in later rounds
     assert any("_" in l or "_" in r for _, l, r, _ in got[1:])
+
+
+def test_bpe_apply_vs_python_replay_both_methods(spark):
+    """bpe_apply (expr and arrow methods) must equal a pure-Python
+    greedy replay of the trained merge rules — and equal the trainer's
+    own final corpus state (rules were derived from exactly these
+    rewrites)."""
+    import re
+
+    from osm_pt_validator_spark.operators.text import bpe_apply, bpe_merges
+
+    texts = [
+        (1, "the cat sat on the mat the cat ran"),
+        (2, "the cat saw the dog on the mat"),
+        (3, "a a a a"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_merges(docs, rounds=4)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("round").collect()]
+
+    # pure-Python greedy replay
+    want = {}
+    for did, t in texts:
+        toks = [w for w in re.split(r"[^a-zA-Z0-9']+", t.lower()) if w]
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(toks):
+                if toks[i] == l and i + 1 < len(toks) and toks[i + 1] == r:
+                    out.append(f"{l}_{r}")
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        want[did] = toks
+
+    for method in ("expr", "arrow"):
+        got = {
+            r.doc_id: (list(r.toks), r.n_tokens)
+            for r in bpe_apply(docs, merges, method=method).collect()
+        }
+        assert set(got) == set(want), method
+        for did in want:
+            assert got[did] == (want[did], len(want[did])), (method, did)
+    # merged symbols actually appear in the tokenized corpus
+    assert any("_" in t for t in want[1])
+
+
+def test_pack_chunks_consumes_real_token_counts(spark):
+    """pack_chunks(n_tokens_col=...) budgets on bpe_apply's true token
+    counts: spans are contiguous per shard and sized by the REAL counts,
+    not the bpe_ish proxy."""
+    from osm_pt_validator_spark.operators.curation import pack_chunks
+    from osm_pt_validator_spark.operators.text import bpe_apply, bpe_merges
+
+    texts = [(i, "the cat sat on the mat " * (i + 1)) for i in range(6)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_merges(docs, rounds=2)
+    toked = bpe_apply(docs, merges)
+    packed = pack_chunks(
+        toked.select("doc_id", "n_tokens"),
+        budget=8,
+        num_shards=2,
+        n_tokens_col="n_tokens",
+    ).collect()
+    true_counts = {r.doc_id: r.n_tokens for r in toked.collect()}
+    by_shard: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+        assert r.n_tokens == true_counts[r.doc_id]
+        prev = by_shard.setdefault(r.shard, [])
+        expect_start = prev[-1].start_tok + prev[-1].n_tokens if prev else 0
+        assert r.start_tok == expect_start
+        assert r.chunk_first == r.start_tok // 8
+        assert r.chunk_last == (r.start_tok + r.n_tokens - 1) // 8
+        prev.append(r)
 
 
 def test_jaccard_similarity_join_lossless_vs_brute(spark):
