@@ -377,7 +377,11 @@ def test_iceberg_source_gating_and_fallback(spark, tmp_path):
     if not iceberg_available(spark):
         _pytest.skip(
             "iceberg runtime jar not on classpath (documented fallback "
-            "path; CI-form run: scripts/iceberg_smoke.py — see README)"
+            "path; CI-form run: scripts/iceberg_smoke.py — see README). "
+            "ENVIRONMENT-INFEASIBLE in this sandbox, closed 2026-08-19: "
+            "every artifact channel fails DNS resolution (maven central, "
+            "PyPI, apt mirrors — README 'Iceberg runtime path'); with a "
+            "network this skip turns into the real catalog run."
         )
 
 
