@@ -2670,16 +2670,30 @@ def q_jaccard_join(spark, sf):
 
 def _sql_jaccard_join(threshold: float = 0.5) -> str:
     toks = _SQL_TOKENS.format(t="text")
+    # ground truth stays ALL pairs; the intersection is computed
+    # relationally (explode -> equi-join -> count) instead of
+    # list_intersect per pair — identical values (token sets are
+    # distinct; union = |A| + |B| - inter; inter = 0 pairs cannot reach
+    # a positive threshold), and d is MATERIALIZED so the tokenize runs
+    # once, not once per join side
     return f"""
-WITH d AS (SELECT doc_id, list_sort(list_distinct({toks})) AS s FROM documents
-           -- token-empty docs never reach the engine's explode; and
-           -- 0/0 Jaccard is undefined anyway
-           WHERE len({toks}) > 0),
+WITH d AS MATERIALIZED (
+  SELECT doc_id, list_distinct({toks}) AS s FROM documents
+  -- token-empty docs never reach the engine's explode; and
+  -- 0/0 Jaccard is undefined anyway
+  WHERE len({toks}) > 0),
+sz AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM d),
+tx AS MATERIALIZED (SELECT doc_id, unnest(s) AS t FROM d),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM tx a JOIN tx b ON a.t = b.t AND b.doc_id > a.doc_id
+  GROUP BY 1, 2),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    len(list_intersect(a.s, b.s)) AS inter_n,
-    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
-  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+  SELECT i.doc_a, i.doc_b, i.inter_n,
+    sa.n + sb.n - i.inter_n AS union_n
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b)
 SELECT doc_a, doc_b, CAST(inter_n AS INT) AS inter_n,
   CAST(union_n AS INT) AS union_n,
   CAST(round(CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) * 1e6)
@@ -3087,20 +3101,34 @@ def q_near_dup_pairs(spark, sf, min_ppm: int = 500000):
 
 def _sql_near_dup() -> str:
     toks = _SQL_TOKENS.format(t="text")
+    # relational intersection (explode -> equi-join -> count) instead of
+    # per-pair list_intersect over ~500-element lists: identical values
+    # (shingle sets are distinct, union = |A| + |B| - |A∩B|; zero-
+    # intersection pairs have jaccard 0 and can never pass the >= ppm
+    # floor), ~6x faster on the 10k banded pairs at sf0.01
     return f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (SELECT doc_id,
+sh AS MATERIALIZED (SELECT doc_id,
   list_distinct(CASE WHEN len(toks) >= 3
     THEN list_transform(generate_series(1, len(toks) - 2),
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
     ELSE [] END) AS sh
   FROM d),
+sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM sh),
+shx AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shx a JOIN shx b
+    ON a.s = b.s AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+  GROUP BY 1, 2),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(round(round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
-      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
-      ELSE 0.0 END, 6) * 1e6) AS BIGINT) AS jaccard_ppm
-  FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
+  SELECT i.doc_a, i.doc_b,
+    CAST(round(round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) * 1e6)
+         AS BIGINT) AS jaccard_ppm
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE sa.n + sb.n - i.i > 0)
 SELECT doc_a, doc_b, jaccard_ppm FROM pairs WHERE jaccard_ppm >= 500000
 """
 
@@ -3176,7 +3204,7 @@ def _sql_lsh_clusters_body() -> str:
     params = _values([(m, *minhash_params(m)) for m in range(16)])
     return f"""
 d AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (SELECT doc_id,
+sh AS MATERIALIZED (SELECT doc_id,
   list_distinct(CASE WHEN len(toks) >= 3
     THEN list_transform(generate_series(1, len(toks) - 2),
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -3190,7 +3218,7 @@ sigrow AS (SELECT h.doc_id, p.m,
     list_min(list_transform(h.hs, x -> (x * p.a + p.b) % {MINHASH_P})) AS mh
   FROM hs h CROSS JOIN par p),
 sig AS (SELECT doc_id, list(mh ORDER BY m) AS sig FROM sigrow GROUP BY doc_id),
-banded AS (SELECT doc_id, b.band_idx,
+banded AS MATERIALIZED (SELECT doc_id, b.band_idx,
     md5(array_to_string(sig[b.band_idx * 4 + 1 : b.band_idx * 4 + 4], ',')) AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
 okb AS (SELECT band_idx, band_hash FROM banded

@@ -106,19 +106,27 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        # two halvings per round: distance-to-minimum shrinks ~3x per
-        # round on chain graphs => O(log n) rounds total
-        new_labels = halve(halve(prop))
+        # convergence test BEFORE the halvings: stability under one
+        # propagation is a valid fixpoint test — if no label changed,
+        # every edge (u, v) has label(u) >= label(v) and vice versa, so
+        # labels are constant per component, and since the component's
+        # minimum node m always keeps label(m) = m (labels are monotone
+        # non-increasing node ids in-component), that constant IS the
+        # minimum. Skipping the two halvings on the final (no-change)
+        # round saves 2 of its 4 jobs — meaningful at small scale where
+        # per-job fixed cost dominates, free at 100 TB.
         changed = (
-            new_labels.alias("n")
+            prop.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
+        # two halvings per round: distance-to-minimum shrinks ~3x per
+        # round on chain graphs => O(log n) rounds total
+        labels = halve(halve(prop))
     edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
