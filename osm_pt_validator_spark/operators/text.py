@@ -639,8 +639,7 @@ def bpe_apply(
     """
     rules = [
         (row["left"], row["right"])
-        for row in merges.orderBy("round").collect()
-        # collect-ok: vocab-sized merge table -> rewrite literals
+        for row in merges.orderBy("round").collect()  # collect-ok: vocab-sized merge table -> rewrite literals
     ]
     base = documents.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
     if method == "auto":
