@@ -17,7 +17,7 @@ N=${1:-5}
 PAGES=${2:-6000000}
 RELS=${3:-900000}
 JOB=${4:-full}
-LOG=${SCALING_LOG:-/root/repo/records/.scaling_v2_r5.log}
+LOG=${SCALING_LOG:-/root/repo/records/scaling_v2_r5.log}
 
 for i in $(seq 1 "$N"); do
   echo "=== campaign pair $i/$N job=$JOB $(date -u +%H:%M:%SZ) ===" >> "$LOG"
