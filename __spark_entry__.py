@@ -4959,11 +4959,19 @@ def q_asof_crawl_events(spark, sf):
         F.length("text").cast("long").alias("snap_chars"),
     )
     j = asof_join(ev, snaps, ["doc_id"], "ts", "crawl_ts")
+    # Unmatched events (ts before the doc's first snapshot) keep the
+    # LEFT-join semantics but surface as -1, not NULL: a nullable
+    # BIGINT would be materialized as float64 by the driver's pandas
+    # hop on the DuckDB side, flipping EVERY value's stringification
+    # (bit us at sf0.1, where 983 events predate their first snap;
+    # sf0.01 happens to have zero).
     return j.select(
         "event_id",
         "doc_id",
-        F.unix_timestamp("crawl_ts").cast("long").alias("crawl_epoch"),
-        "snap_chars",
+        F.coalesce(
+            F.unix_timestamp("crawl_ts").cast("long"), F.lit(-1).cast("long")
+        ).alias("crawl_epoch"),
+        F.coalesce("snap_chars", F.lit(-1).cast("long")).alias("snap_chars"),
     )
 
 
@@ -4977,8 +4985,8 @@ snaps AS (
   FROM (SELECT doc_id, text, UNNEST(range(0, (doc_id % 3) + 1)) AS crawl
         FROM documents))
 SELECT ev.event_id, ev.doc_id,
-  CAST(floor(epoch(snaps.crawl_ts)) AS BIGINT) AS crawl_epoch,
-  snaps.snap_chars
+  COALESCE(CAST(floor(epoch(snaps.crawl_ts)) AS BIGINT), -1) AS crawl_epoch,
+  COALESCE(snaps.snap_chars, -1) AS snap_chars
 FROM ev ASOF LEFT JOIN snaps
   ON ev.doc_id = snaps.doc_id AND ev.ts >= snaps.crawl_ts
 """

@@ -76,7 +76,8 @@ def compare_query(spark, sf_dir: str, name: str, q_fn, sql: str):
         a = canonical_rows(s_cols, s_rows)
         b = canonical_rows(d_cols, d_rows)
         if a != b:
-            diff_a = [r for r in a if r not in set(b)][:3]
-            diff_b = [r for r in b if r not in set(a)][:3]
+            set_a, set_b = set(a), set(b)
+            diff_a = [r for r in a if r not in set_b][:3]
+            diff_b = [r for r in b if r not in set_a][:3]
             problems.append(f"values differ; spark-only={diff_a} duck-only={diff_b}")
     return problems, len(s_rows)
