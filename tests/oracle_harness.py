@@ -19,11 +19,17 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark writes a table as a DIRECTORY of part files (the 10x
+        # replica testdata_sf1/); the driver's testdata uses single
+        # files. Glob the parts in the directory case.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
