@@ -205,10 +205,19 @@ def _build_knn(spark, sf_dir, k):
     from osm_pt_validator_spark.spatial.knn import knn_join
 
     c, s = _knn_dims(spark, sf_dir)
-    # res=13 (~0.022 deg cells): the ~0.1 deg point box spans ~20 cells,
-    # so candidates stay local. (res=8 put the whole box in ONE cell —
-    # a single join key, i.e. a full cross join through one partition.)
-    return knn_join(c, s, probe_key="c_custkey", build_key="stop_id", k=k, ring=1, res=13)
+    # res=14 (~0.011 deg ≈ 1.2 km lat cells): ring=1 must cover the
+    # k=2 neighbour distance, and the supplier lattice's worst-case
+    # 2nd-NN is ~0.7 km — a ~1.7× margin — while candidates drop ~3×
+    # vs the old res=13. scripts/knn_res_check.py proves res 13 and 14
+    # return IDENTICAL rows at sf0.1 for k=1 and k=2 (res=8 put the
+    # whole box in ONE cell — a full cross join through one partition).
+    # probe_partitions: the sf dims are single-row-group parquet, i.e.
+    # one non-empty scan partition; spread the probe rows before the
+    # ring explosion so candidate work uses every core.
+    return knn_join(
+        c, s, probe_key="c_custkey", build_key="stop_id", k=k, ring=1, res=14,
+        probe_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def bench_knn(spark, sf_dir):

@@ -40,6 +40,7 @@ def knn_join(
     build_lon: str = "lon",
     broadcast_build: bool = True,
     hot_threshold: int = 1_000_000,
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """Top-k nearest build rows per probe row.
 
@@ -57,9 +58,22 @@ def knn_join(
     seeded sample) across ``salt_factor`` reducers and replicates only
     the hot build cells.
 
+    ``probe_partitions``: optionally repartition the probe side BEFORE
+    the k-ring explosion. The explode (×(2r+1)²) and the candidate join
+    (×cell density) multiply work downstream of the probe scan within
+    the same stage, so when the scan's effective parallelism is coarser
+    than the cluster — a small dim in one parquet row group yields ONE
+    non-empty scan partition regardless of byte-range splits — the whole
+    candidate computation serializes onto one core. A cheap pre-explosion
+    round-robin exchange of the (still narrow) probe rows fixes that.
+    Leave None (default) for large probe tables, whose natural split
+    count already matches the cluster.
+
     Output: all probe columns + build_key + distance_m + knn_rank.
     """
     probe_keys = [probe_key] if isinstance(probe_key, str) else list(probe_key)
+    if probe_partitions:
+        probe = probe.repartition(probe_partitions)
     p = probe.withColumn(
         "__ring", kring_cells(cell(F.col(probe_lat), F.col(probe_lon), res), ring, res)
     ).withColumn("__cell", F.explode("__ring")).drop("__ring")
