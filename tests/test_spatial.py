@@ -158,6 +158,27 @@ def test_knn_vs_bruteforce(spark):
         assert got_map.get(pid, []) == expected, pid
 
 
+def test_knn_probe_partitions_parity_and_plan(spark):
+    # probe_partitions is a pure physical knob: it must add a
+    # round-robin exchange BEFORE the ring explosion (so a one-split
+    # probe scan can't serialize the candidate work) without changing
+    # a single output row.
+    probe_rows, probe = _grid_points(spark, 60)
+    build_rows = [(100 + i, 55.90 + i * 1.7e-3, -3.30 + i * 1.3e-3) for i in range(12)]
+    build = spark.createDataFrame(build_rows, "stop_id long, lat double, lon double")
+
+    kwargs = dict(probe_key="point_id", build_key="stop_id", k=2, ring=3, res=14)
+    base = knn_join(probe, build, **kwargs)
+    spread = knn_join(probe, build, probe_partitions=8, **kwargs)
+
+    key = lambda r: (r.point_id, r.knn_rank, r.stop_id)
+    assert sorted(map(key, base.select("point_id", "stop_id", "knn_rank").collect())) == \
+        sorted(map(key, spread.select("point_id", "stop_id", "knn_rank").collect()))
+
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning(8" in plan
+
+
 def test_pip_vs_oracle(spark):
     # a concave polygon (arrow shape) around the fixture area
     xs = [-3.300, -3.290, -3.290, -3.295, -3.290, -3.290, -3.300]
