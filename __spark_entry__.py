@@ -2880,6 +2880,142 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_streaming_heatmap_replay(spark, sf):
+    """Batch replay of the streaming tile heatmap
+    (streaming/heatmap.py:tile_window_counts): the SAME windowed
+    tile-count transformation the watermarked stream runs — F.window
+    plus the slippy-tile encoders are plain Catalyst expressions, so
+    the identical plan executes on the batch events table (with the
+    standard deterministic geo derivation). The pytest availableNow
+    drain proves the streaming execution emits these rows for closed
+    windows; this key makes the shared plan driver-oracle-checkable."""
+    from osm_pt_validator_spark.streaming.heatmap import tile_window_counts
+
+    e = _t(spark, sf, "events")
+    pts = e.select(
+        "ts",
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("user_id") % 1700) / 10.0 - 85.0).alias("lat"),
+    )
+    out = tile_window_counts(pts, z=7, window_duration="6 hours")
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("window_epoch"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _sql_streaming_heatmap_replay() -> str:
+    lat = "(user_id % 1700) / 10.0 - 85.0"
+    lon = "(event_id % 3600) / 10.0 - 180.0"
+    return f"""
+SELECT CAST(epoch_us(ts) // 21600000000 * 21600 AS BIGINT) AS window_epoch,
+  {_sql_tile_x(lon, 7)} AS tile_x,
+  {_sql_tile_y(lat, 7)} AS tile_y,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_sessions_replay(spark, sf):
+    """Batch replay of the streaming sessionizer
+    (streaming/sessions.py:session_stats_frame): the SAME
+    F.session_window rollup the watermarked stream runs, on the batch
+    events table. Pins the engine's inclusive merge rule: a session
+    breaks only when the gap to the previous event is STRICTLY
+    GREATER than `gap` (an event at exactly prev+gap merges —
+    asserted by the boundary test in test_checkpoint_streaming.py),
+    at microsecond precision (the oracle replays that rule with
+    epoch_us and a windowed break-flag cumulative sum)."""
+    from osm_pt_validator_spark.streaming.sessions import (
+        session_stats_frame,
+    )
+
+    e = _t(spark, sf, "events")
+    out = session_stats_frame(
+        e, key_col="user_id", ts_col="ts", gap="30 minutes"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_epoch").cast("long").alias("start_epoch"),
+        F.col("end_epoch").cast("long").alias("end_epoch"),
+    )
+
+
+def _sql_streaming_sessions_replay() -> str:
+    return """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (
+  SELECT user_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MIN(us) // 1000000 AS BIGINT) AS start_epoch,
+  CAST(MAX(us) // 1000000 AS BIGINT) AS end_epoch
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_interval_join_replay(spark, sf):
+    """Batch replay of the stream-stream interval join
+    (streaming/enrich.py:interval_join_streams): the SAME join
+    function — equi-key + mandatory time-range bound, an ordinary
+    Catalyst join on batch frames since the watermark attaches at the
+    source (stream_from_dir). Enriches each click event with the view
+    events the same user produced in the preceding 2 hours; also
+    exercises the r_<name> collision renaming (both sides carry
+    event_id and ts)."""
+    from osm_pt_validator_spark.streaming.enrich import (
+        interval_join_streams,
+    )
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    j = interval_join_streams(
+        clicks,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lag="2 hours",
+    )
+    return j.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("click_event_id"),
+        F.col("r_event_id").cast("long").alias("view_event_id"),
+        F.unix_timestamp("ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("r_ts").cast("long").alias("view_epoch"),
+    )
+
+
+def _sql_interval_join_replay() -> str:
+    return """
+SELECT CAST(l.user_id AS BIGINT) AS user_id,
+  CAST(l.event_id AS BIGINT) AS click_event_id,
+  CAST(r.event_id AS BIGINT) AS view_event_id,
+  CAST(epoch_us(l.ts) // 1000000 AS BIGINT) AS click_epoch,
+  CAST(epoch_us(r.ts) // 1000000 AS BIGINT) AS view_epoch
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts
+"""
+
+
 def q_pmi_collocations(spark, sf):
     """PMI collocation mining (operators/text.py:pmi_collocations):
     ONE corpus scan emits (token, successor-or-NULL), so the pair-count
@@ -5593,6 +5729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": wrap(q_bpe_tokenize),
         "pack_chunks_bpe": wrap(q_pack_chunks_bpe),
         "trending_topk": wrap(q_trending_topk),
+        "streaming_heatmap_replay": wrap(q_streaming_heatmap_replay),
+        "streaming_sessions_replay": wrap(q_streaming_sessions_replay),
+        "interval_join_replay": wrap(q_interval_join_replay),
         "passage_windows": wrap(q_passage_windows),
         "tfidf_top_terms": wrap(q_tfidf_top_terms),
         "fingerprint_groups": wrap(q_fingerprint_groups),
@@ -5780,6 +5919,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": _sql_bpe_tokenize(),
         "pack_chunks_bpe": _sql_pack_chunks_bpe(),
         "trending_topk": _sql_trending_topk(),
+        "streaming_heatmap_replay": _sql_streaming_heatmap_replay(),
+        "streaming_sessions_replay": _sql_streaming_sessions_replay(),
+        "interval_join_replay": _sql_interval_join_replay(),
         "passage_windows": _sql_passage_windows(),
         "tfidf_top_terms": _sql_tfidf(),
         # golden VALUES oracles transcribed from the reference's test

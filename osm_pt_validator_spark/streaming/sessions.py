@@ -22,6 +22,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def session_stats_frame(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """The sessionization itself: per-(key, session_window) rollups.
+
+    Shared by the streaming entry point below and by batch replay —
+    `F.session_window` is a plain Catalyst aggregation that runs
+    identically on a batch frame, which is what lets the driver's
+    DuckDB oracle gate value-check this operator (a session breaks
+    only when the gap to the previous event is STRICTLY GREATER than
+    `gap`, microsecond precision — session_window merges the closed
+    [ts, ts+gap] intervals, so an event landing exactly at prev+gap
+    still extends the session; pinned by the boundary test in
+    test_checkpoint_streaming.py).
+    """
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("start_epoch"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("end_epoch"),
+        )
+        .select(key_col, "n_events", "start_epoch", "end_epoch")
+    )
+
+
 def streaming_session_stats(
     spark: SparkSession,
     source_dir: str,
@@ -38,16 +70,9 @@ def streaming_session_stats(
     contract; tests drain with availableNow + complete mode).
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(
-            F.col(key_col),
-            F.session_window(F.col(ts_col), gap).alias("w"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min(F.unix_timestamp(F.col(ts_col))).alias("start_epoch"),
-            F.max(F.unix_timestamp(F.col(ts_col))).alias("end_epoch"),
-        )
-        .select(key_col, "n_events", "start_epoch", "end_epoch")
+    return session_stats_frame(
+        stream.withWatermark(ts_col, watermark),
+        key_col=key_col,
+        ts_col=ts_col,
+        gap=gap,
     )

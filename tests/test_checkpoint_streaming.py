@@ -452,3 +452,43 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     want = {(r["click_id"], r["imp_id"]) for r in batch.collect()}
     assert got == want
+
+
+def test_session_window_gap_boundary_is_inclusive(spark):
+    """Pin the session break rule the batch-replay oracle encodes
+    (streaming/sessions.py:session_stats_frame): session_window merges
+    closed [ts, ts+gap] intervals, so an event landing EXACTLY at
+    prev+gap still EXTENDS the session; only prev+gap+1us starts a
+    new one. The streaming_sessions_replay oracle's break flag must
+    therefore be `diff > gap`, not `>=`."""
+    from osm_pt_validator_spark.streaming.sessions import (
+        session_stats_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        # user 1: second event 1us past the gap -> two sessions
+        (1, t0),
+        (1, t0 + gap + dt.timedelta(microseconds=1)),
+        # user 2: second event exactly at t0+gap -> one session
+        (2, t0),
+        (2, t0 + gap),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = session_stats_frame(df, gap="30 minutes")
+    per_user = {
+        u: sorted(
+            (r["n_events"], r["start_epoch"], r["end_epoch"])
+            for r in g
+        )
+        for u, g in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r["user_id"]),
+            key=lambda r: r["user_id"],
+        )
+    }
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    e1 = e0 + 1800
+    # the +1us event truncates to second e1 under unix_timestamp
+    assert per_user[1] == [(1, e0, e0), (1, e1, e1)]
+    assert per_user[2] == [(2, e0, e1)]
