@@ -253,3 +253,70 @@ def test_segment_cross_predicate_matches_shapely_free_reference(s, t):
     p1, p2 = (s[0], s[1]), (s[2], s[3])
     q1, q2 = (t[0], t[1]), (t[2], t[3])
     assert int_predicate(p1, p2, q1, q2) == sample_reference(p1, p2, q1, q2)
+
+
+# -- session_window ≡ pure-python gap sessionizer ----------------------------
+
+_session_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # user
+        st.integers(0, 7_200_000_000),  # epoch micros within 2h
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_session_events)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_session_stats_matches_python_replay(spark, events):
+    """streaming/sessions.py:session_stats_frame against an
+    independent pure-python sessionizer with the engine's inclusive
+    rule (break only when gap > 30 min) — micros drawn near the
+    boundary catch any >=/> drift the example tests might miss."""
+    import datetime as dt
+
+    from osm_pt_validator_spark.streaming.sessions import (
+        session_stats_frame,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(microseconds=us)) for u, us in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in session_stats_frame(df, gap="30 minutes").collect()
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    base_epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    want = []
+    by_user: dict[int, list[int]] = {}
+    for u, us in events:
+        by_user.setdefault(u, []).append(us)
+    for u, uss in by_user.items():
+        uss.sort()
+        sess: list[int] = []
+        for us in uss:
+            if sess and us - sess[-1] > gap_us:
+                want.append(
+                    (
+                        u,
+                        len(sess),
+                        base_epoch + sess[0] // 1_000_000,
+                        base_epoch + sess[-1] // 1_000_000,
+                    )
+                )
+                sess = []
+            sess.append(us)
+        want.append(
+            (
+                u,
+                len(sess),
+                base_epoch + sess[0] // 1_000_000,
+                base_epoch + sess[-1] // 1_000_000,
+            )
+        )
+    assert got == sorted(want)
