@@ -2493,6 +2493,62 @@ WHERE {bucket} % 1000000 < 250000
 """
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (curation.dsir_weights): hashed
+    unigram+bigram importance of every document against a
+    deterministic 10% target sample — the data-selection scorer an
+    LM pipeline runs between dedup and sampling. Integer micro-nat
+    quantization of the per-bucket log-ratios makes the per-doc sum
+    exact integer algebra, replayed bit-for-bit by the oracle."""
+    from osm_pt_validator_spark.operators.curation import (
+        dsir_weights,
+        hash_sample,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    tgt = hash_sample(d, 0.1, salt="dsir_tgt")
+    return dsir_weights(d, tgt).select(
+        "doc_id",
+        F.col("weight_micro").cast("long").alias("weight_micro"),
+        "n_grams",
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    toks = _SQL_TOKENS.format(t="text")
+    gbucket = md5_i64_sql("gram", "dsir")
+    tbucket = md5_i64_sql("CAST(doc_id AS VARCHAR)", "dsir_tgt")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, t.g AS gram FROM d,
+    UNNEST(list_concat(
+      toks,
+      list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1]))) AS t(g)),
+b AS (SELECT doc_id, ({gbucket}) % 256 AS bucket FROM g),
+dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+rh AS (SELECT bucket, SUM(c) AS r FROM dc GROUP BY 1),
+tgt AS (SELECT doc_id FROM documents WHERE ({tbucket}) % 1000000 < 100000),
+th AS (SELECT bucket, SUM(c) AS t FROM dc JOIN tgt USING (doc_id) GROUP BY 1),
+tot AS (SELECT (SELECT SUM(r) FROM rh) AS rn,
+               (SELECT COALESCE(SUM(t), 0) FROM th) AS tn),
+ratio AS (
+  SELECT rh.bucket,
+    CAST(round((ln((COALESCE(th.t, 0) + 1.0) / (tot.tn + 256))
+              - ln((rh.r + 1.0) / (tot.rn + 256))) * 1e6) AS BIGINT)
+      AS lr_micro
+  FROM rh LEFT JOIN th ON rh.bucket = th.bucket, tot)
+SELECT dc.doc_id,
+  CAST(SUM(dc.c * ratio.lr_micro) AS BIGINT) AS weight_micro,
+  CAST(SUM(dc.c) AS BIGINT) AS n_grams
+FROM dc JOIN ratio ON dc.bucket = ratio.bucket
+GROUP BY 1
+"""
+
+
 def q_corpus_split(spark, sf):
     """Leakage-safe train/val/test split (curation.grouped_split): the
     split is a pure function of the `source` (site) key, so a site's
@@ -5741,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": wrap(q_weighted_sample),
         "diverse_sample": wrap(q_diverse_sample),
         "corpus_split": wrap(q_corpus_split),
+        "dsir_weights": wrap(q_dsir_weights),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
         "doc_repetition": wrap(q_doc_repetition),
@@ -5859,6 +5916,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _sql_weighted_sample(),
         "diverse_sample": _sql_diverse_sample(),
         "corpus_split": _sql_corpus_split(),
+        "dsir_weights": _sql_dsir_weights(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),
         "doc_repetition": _sql_doc_repetition(),

@@ -427,3 +427,107 @@ def weighted_sample(
             "sample_rank",
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (public method:
+    Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much its
+    hashed unigram+bigram profile resembles the TARGET domain sample
+    rather than the raw corpus.
+
+        weight(doc) = sum over gram occurrences g of
+            ln p_tgt(bucket(g)) - ln p_raw(bucket(g))
+
+    with Laplace-smoothed bucket probabilities over `buckets` md5-
+    hashed bins. The per-BUCKET log-ratio is quantized to integer
+    micro-nats BEFORE the per-doc sum, so the big reduction is exact
+    integer arithmetic — order-independent and engine-independent
+    (the DuckDB oracle replays it bit-for-bit; float ln enters only
+    in the <= `buckets` per-bin constants computed from exact integer
+    counts, the same trick tfidf_top_terms uses for its idf).
+
+    Scale shape (100 TB raw corpus, small target by definition —
+    DSIR's target is a domain sample): ONE corpus scan explodes
+    grams into (doc, bucket) occurrence counts (map-side combining
+    groupBy); the raw histogram is a second combining agg over THAT
+    table, never a re-scan; the target side scans its small frame
+    once. Histograms and totals (<= `buckets` rows) broadcast back
+    onto the per-doc counts — no window, no driver collect, and the
+    only large exchange is the (doc, bucket) agg. Docs with zero
+    grams carry no evidence either way and are absent from the
+    output (weight undefined, not 0).
+
+    Output: (id_col, weight_micro, n_grams) — selection composes
+    downstream (rank / threshold / weighted_sample on weight_micro).
+    """
+    from osm_pt_validator_spark.operators.text import word_ngrams
+
+    def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
+        grams = F.concat(
+            word_ngrams(F.col(text_col), 1), word_ngrams(F.col(text_col), 2)
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(*cols, F.explode(grams).alias("gram")).select(
+            *([id_col] if with_id else []),
+            (md5_i64(F.col("gram"), "dsir") % buckets).alias("bucket"),
+        )
+
+    # doc_counts feeds BOTH the raw histogram and the final weight
+    # join; without materialization Spark re-runs the corpus
+    # explode+md5 for each consumer, doubling the one genuinely heavy
+    # scan. The materialized table is <= buckets rows per doc of pure
+    # ints — far smaller than the corpus it summarizes.
+    doc_counts = (
+        bucketed(docs, with_id=True)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # totals as windows over the <= `buckets`-row histograms (every
+    # raw bucket row carries rn; tn rides the target rows through the
+    # left join and max() fills the target-less buckets) — no 1-row
+    # aggs, no crossJoin stages.
+    every = Window.partitionBy(F.lit(1))
+    raw_hist = doc_counts.groupBy("bucket").agg(
+        F.sum("c").alias("r")
+    ).withColumn("rn", F.sum("r").over(every))
+    tgt_hist = (
+        bucketed(target, with_id=False)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("tn", F.sum("t").over(every))
+    )
+    ratio = (
+        raw_hist.join(F.broadcast(tgt_hist), "bucket", "left")
+        .withColumn("tn_all", F.max("tn").over(every))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1.0)
+                        / (F.coalesce(F.col("tn_all"), F.lit(0)) + buckets)
+                    )
+                    - F.log((F.col("r") + 1.0) / (F.col("rn") + buckets))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
+            F.sum("c").cast("long").alias("n_grams"),
+        )
+    )
