@@ -3500,7 +3500,9 @@ def q_kmeans_centroids(spark, sf):
     ).select("cid", "n", F.col("pos").cast("int").alias("pos"), "val")
 
 
-def _sql_kmeans(dim: int = 64, k: int = 4, iters: int = 2) -> str:
+def _sql_kmeans_parts(dim: int = 64, k: int = 4, iters: int = 2) -> list:
+    """The Lloyd-round CTE chain shared by the kmeans_centroids oracle
+    and every oracle that composes on its assignments (semdedup)."""
     dist = (
         "list_sum(list_transform(generate_series(1, {d}), "
         "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
@@ -3529,11 +3531,56 @@ def _sql_kmeans(dim: int = 64, k: int = 4, iters: int = 2) -> str:
             f"SELECT cid, i, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval, "
             f"COUNT(*) AS n FROM dim{t} GROUP BY cid, i) GROUP BY cid)"
         )
+    return parts
+
+
+def _sql_kmeans(dim: int = 64, k: int = 4, iters: int = 2) -> str:
+    parts = _sql_kmeans_parts(dim, k, iters)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT CAST(cid AS INT) AS cid, CAST(n AS BIGINT) AS n, "
         f"CAST(i - 1 AS INT) AS pos, cv[i] AS val "
         f"FROM c{iters} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i)"
+    )
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (similarity.semantic_dedup): integer-exact k-means
+    partitions the embedding space, then within-cluster cosine >= 0.35
+    drops every vector with a lower-id near-duplicate — the semantic
+    dedup pass lexical minhash/simhash cannot perform. The oracle
+    replays the full chain: both Lloyd rounds bit-exactly (shared
+    _sql_kmeans_parts CTEs), then the same deterministic left-fold
+    cosine the other similarity oracles use."""
+    from osm_pt_validator_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(e, k=4, iters=2, threshold=0.35)
+
+
+def _sql_semantic_dedup(dim: int = 64, k: int = 4, iters: int = 2) -> str:
+    parts = _sql_kmeans_parts(dim, k, iters)
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)) > 0 "
+        "THEN list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) "
+        "ELSE 0.0 END, 6)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+asg AS (SELECT vec_id, cid FROM a{iters}),
+ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+m AS (SELECT asg.vec_id, asg.cid, ev.v FROM asg JOIN ev USING (vec_id)),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.35)
+SELECT m.vec_id, CAST(m.cid AS INT) AS cid,
+  CAST(CASE WHEN losers.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM m LEFT JOIN losers ON m.vec_id = losers.vec_id
+"""
     )
 
 
@@ -5841,6 +5888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_kept": wrap(q_dedup_clusters_kept),
         "embedding_topk": wrap(q_embedding_topk),
         "kmeans_centroids": wrap(q_kmeans_centroids),
+        "semantic_dedup": wrap(q_semantic_dedup),
         "pq_ann_topk": wrap(q_pq_ann_topk),
         "cosine_pairs": wrap(q_cosine_pairs),
         "cosine_bucketed_pairs": wrap(q_cosine_bucketed),
@@ -5957,6 +6005,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_kept": _sql_dedup_clusters_kept(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "kmeans_centroids": _sql_kmeans(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "pq_ann_topk": _sql_pq(),
         "cosine_pairs": SQL_COSINE_PAIRS,
         "cosine_bucketed_pairs": _sql_cosine_bucketed(),

@@ -604,3 +604,87 @@ def int8_ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (public method: Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then drop every document whose cosine
+    similarity to a LOWER-id member of the SAME cluster clears
+    `threshold` — semantic near-dups that no lexical dedup
+    (minhash/simhash/winnowing) can see.
+
+    Composition of two already-verified pieces: kmeans_fixed_point
+    (integer-exact Lloyd, bit-replayable) for the partition, and the
+    deterministic left-fold cosine (round 6 dp) for the verify — so
+    the whole chain stays DuckDB-replayable.
+
+    Scale shape (10^9 vectors): the quadratic work is confined WITHIN
+    clusters — k is the degeneracy knob (pairs = sum of cluster^2;
+    SemDeDup runs k in the tens of thousands at web scale so clusters
+    stay ~1e4). One equi-join on cid forms the pairs (AQE handles a
+    skewed mega-cluster), one distinct on the loser ids, one left
+    join marks survivors. Keep-lowest-id is the same deterministic
+    survivor rule the lexical dedup family uses.
+
+    Output: (id_col, cid, kept 0/1) for EVERY input vector.
+    """
+    from osm_pt_validator_spark.operators.kmeans import kmeans_fixed_point
+
+    _cents, assign = kmeans_fixed_point(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    member = assign.join(
+        embeddings.select(F.col(id_col).alias("id"), vec_col), "id"
+    )
+    # per-member norm computed ONCE (the pair join would otherwise
+    # re-fold each vector's self-dot for every partner — 3x the fold
+    # work on the quadratic term; same float ops, identical sims)
+    scored = member.withColumn("nrm", norm(F.col(vec_col)))
+    a = scored.select(
+        F.col("id").alias("id_a"),
+        F.col("cid").alias("cid_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = scored.select(
+        F.col("id").alias("id_b"),
+        F.col("cid").alias("cid_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cid_a") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.round(
+        F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    losers = (
+        pairs.select("id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        member.join(losers.withColumn("__dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cid").cast("int").alias("cid"),
+            F.when(F.col("__dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

@@ -1016,3 +1016,28 @@ def test_jaccard_similarity_join_lossless_vs_brute(spark):
             want[(a, b)] = (inter, union, round(inter / union * 1e6))
     # LOSSLESS: prefix filtering must find every qualifying pair
     assert got == want and len(want) >= 5
+
+
+def test_semantic_dedup_drops_higher_id_near_dup_within_cluster(spark):
+    """SemDeDup (similarity.semantic_dedup): two near-identical
+    vectors land in the same k-means cluster and the HIGHER id is
+    dropped; everything else survives, and every input row comes back
+    with its cluster id and kept flag."""
+    from osm_pt_validator_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # seed centroid A
+        (1, [0.0, 0.0, 1.0, 0.0]),      # seed centroid B
+        (2, [0.9, 0.1, 0.0, 0.0]),      # cluster A
+        (3, [0.9001, 0.1, 0.0, 0.0]),   # near-dup of 2 -> dropped
+        (4, [0.0, 0.1, 0.9, 0.0]),      # cluster B
+        (5, [0.1, 0.0, 0.9, 0.1]),      # cluster B, not a dup at 0.999
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.cid, r.kept) for r in
+           semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[3][1] == 0 and all(got[i][1] == 1 for i in (0, 1, 2, 4, 5))
+    # the near-dup pair shares a cluster; the two seed groups differ
+    assert got[2][0] == got[3][0] == got[0][0]
+    assert got[4][0] == got[5][0] == got[1][0] != got[0][0]
