@@ -2549,6 +2549,52 @@ GROUP BY 1
 """
 
 
+def q_bigram_lm_scores(spark, sf):
+    """CCNet-style LM-fluency scoring (text.bigram_lm_scores): add-one
+    bigram LM trained on a deterministic 10% target sample, every doc
+    scored by total NLL in integer micro-nats — the perplexity-filter
+    stage of a pretraining pipeline, exactly replayed by the oracle
+    (per-bigram NLL constants from integer counts, integer per-doc
+    sum)."""
+    from osm_pt_validator_spark.operators.curation import hash_sample
+    from osm_pt_validator_spark.operators.text import bigram_lm_scores
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    tgt = hash_sample(d, 0.1, salt="lm_tgt")
+    return bigram_lm_scores(d, tgt).select(
+        "doc_id",
+        F.col("nll_micro").cast("long").alias("nll_micro"),
+        "n_bigrams",
+    )
+
+
+def _sql_bigram_lm_scores() -> str:
+    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
+
+    toks = _SQL_TOKENS.format(t="text")
+    tbucket = md5_i64_sql("CAST(doc_id AS VARCHAR)", "lm_tgt")
+    bigrams = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+    return f"""
+WITH tgt AS (SELECT {toks} AS toks FROM documents
+             WHERE ({tbucket}) % 1000000 < 100000),
+tb AS (SELECT t.g AS g, COUNT(*) AS c12
+       FROM tgt, UNNEST({bigrams}) AS t(g) GROUP BY 1),
+tp AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c12) AS c1 FROM tb GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT t.w) AS v FROM tgt, UNNEST(toks) AS t(w)),
+d AS (SELECT doc_id, {toks} AS toks FROM documents),
+db AS (SELECT doc_id, t.g AS g, COUNT(*) AS c
+       FROM d, UNNEST({bigrams}) AS t(g) GROUP BY 1, 2),
+s AS (SELECT db.doc_id, db.c,
+        CAST(round(-ln((COALESCE(tb.c12, 0) + 1.0)
+                       / (COALESCE(tp.c1, 0) + vv.v)) * 1e6) AS BIGINT) AS nm
+      FROM db LEFT JOIN tb USING (g)
+              LEFT JOIN tp ON split_part(db.g, ' ', 1) = tp.w1, vv)
+SELECT doc_id, CAST(SUM(c * nm) AS BIGINT) AS nll_micro,
+  CAST(SUM(c) AS BIGINT) AS n_bigrams
+FROM s GROUP BY 1
+"""
+
+
 def q_corpus_split(spark, sf):
     """Leakage-safe train/val/test split (curation.grouped_split): the
     split is a pure function of the `source` (site) key, so a site's
@@ -5845,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample": wrap(q_diverse_sample),
         "corpus_split": wrap(q_corpus_split),
         "dsir_weights": wrap(q_dsir_weights),
+        "bigram_lm_scores": wrap(q_bigram_lm_scores),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
         "doc_repetition": wrap(q_doc_repetition),
@@ -5965,6 +6012,7 @@ def oracle_sql() -> dict[str, str]:
         "diverse_sample": _sql_diverse_sample(),
         "corpus_split": _sql_corpus_split(),
         "dsir_weights": _sql_dsir_weights(),
+        "bigram_lm_scores": _sql_bigram_lm_scores(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),
         "doc_repetition": _sql_doc_repetition(),

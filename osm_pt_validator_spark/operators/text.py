@@ -677,3 +677,77 @@ def bpe_apply(
     return out.select(
         id_col, "toks", F.size("toks").cast("int").alias("n_tokens")
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LM-fluency scoring for corpus filtering — the distributable
+    add-one bigram analog of CCNet's Kneser-Ney perplexity filter
+    (Wenzek et al. 2020: keep/bucket documents by how well a LM
+    trained on a trusted target corpus predicts them).
+
+    Train on `target`:  p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+    where c(w1·) is w1's bigram-prefix count and V the target's
+    distinct-token vocabulary (add-one smoothing, so unseen bigrams
+    and OOV prefixes score -ln(1/(c1+V)) instead of blowing up).
+    Score every doc by total negative log-likelihood over its bigram
+    occurrences. Per-BIGRAM NLL is quantized to integer micro-nats
+    before the per-doc sum — exact integer reduction, bit-replayable
+    by the DuckDB oracle (same trick as dsir_weights / tfidf).
+
+    Scale shape (100 TB corpus, curated target): the doc side
+    pre-aggregates (doc, bigram) occurrence counts map-side; the two
+    LM tables (bigram counts, prefix counts) are vocabulary-bounded —
+    broadcast when they fit, plain shuffled equi-joins when the LM is
+    huge; V rides a broadcast 1-row frame. Per-doc NLL then needs one
+    final combining groupBy. Docs with < 2 tokens have no bigram
+    evidence and are absent from the output.
+
+    Output: (id_col, nll_micro, n_bigrams) — per-token perplexity is
+    exp(nll_micro / 1e6 / n_bigrams) downstream; rank/threshold on it
+    to filter.
+    """
+    g2 = word_ngrams(F.col(text_col), 2)
+    doc_b = (
+        docs.select(F.col(id_col), F.explode(g2).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+    )
+    tgt_b = (
+        target.select(F.explode(g2).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tgt_p = tgt_b.groupBy(
+        F.substring_index("g", " ", 1).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    vocab = target.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    nll_micro = (
+        F.round(
+            -F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("nm")
+    )
+    return (
+        doc_b.join(tgt_b, "g", "left")
+        .join(tgt_p, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, "c", nll_micro)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("nm")).alias("nll_micro"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )

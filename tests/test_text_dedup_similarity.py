@@ -1041,3 +1041,64 @@ def test_semantic_dedup_drops_higher_id_near_dup_within_cluster(spark):
     # the near-dup pair shares a cluster; the two seed groups differ
     assert got[2][0] == got[3][0] == got[0][0]
     assert got[4][0] == got[5][0] == got[1][0] != got[0][0]
+
+
+def test_bigram_lm_scores_python_replay_and_fluency_separation(spark):
+    """text.bigram_lm_scores against an exact python replay of the
+    add-one bigram LM, and the semantics that matter: a document made
+    of target-corpus bigrams must score lower NLL-per-bigram than one
+    made of bigrams the LM never saw."""
+    import math
+    import re
+
+    from osm_pt_validator_spark.operators.text import bigram_lm_scores
+
+    target_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox sleeps under the old tree",
+    ]
+    docs = [
+        (0, "the quick brown fox jumps"),     # in-domain
+        (1, "zebra xylophone quantum entropy warp"),  # all-OOV
+        (2, "one"),                            # < 2 tokens -> absent
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.nll_micro, r.n_bigrams)
+        for r in bigram_lm_scores(ddf, tdf).collect()
+    }
+    assert set(got) == {0, 1}
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9']+", t.lower()) if x]
+
+    c12, c1, vocab = {}, {}, set()
+    for t in target_texts:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+
+    def half_away(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    for doc_id, text in docs[:2]:
+        ws = toks(text)
+        want = sum(
+            half_away(
+                -math.log(
+                    (c12.get((a, b), 0) + 1.0) / (c1.get(a, 0) + V)
+                )
+                * 1e6
+            )
+            for a, b in zip(ws, ws[1:])
+        )
+        assert got[doc_id] == (want, len(ws) - 1)
+    # fluency separation, per-bigram
+    assert got[0][0] / got[0][1] < got[1][0] / got[1][1]
