@@ -2595,6 +2595,53 @@ FROM s GROUP BY 1
 """
 
 
+BM25_TERMS = ["spark", "join", "fast", "window"]
+
+
+def q_bm25_scores(spark, sf):
+    """Retrieve-to-curate BM25 (text.bm25_scores): score every doc
+    against a literal query term set — integer tf/df/dl/N statistics
+    through the standard Robertson weighting, each (doc, term)
+    contribution quantized to micro-units before the exact integer
+    per-doc sum (constant literals are python-folded once and
+    interpolated into BOTH engines, so the float expression shapes
+    are identical)."""
+    from osm_pt_validator_spark.operators.text import bm25_scores
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return bm25_scores(d, BM25_TERMS, k1=1.2, b=0.75).select(
+        "doc_id",
+        F.col("score_micro").cast("long").alias("score_micro"),
+        "n_terms_hit",
+    )
+
+
+def _sql_bm25_scores(k1: float = 1.2, b: float = 0.75) -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1p1 = repr(k1 + 1.0)
+    one_m_b = repr(1.0 - b)
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS dl, t.tok AS t
+         FROM d, UNNEST(toks) AS t(tok)
+         WHERE t.tok IN ({in_list})),
+tf AS (SELECT doc_id, t, dl, COUNT(*) AS tf FROM base GROUP BY 1, 2, 3),
+dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM d),
+s AS (SELECT tf.doc_id,
+  CAST(round(
+    ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+    * ((tf.tf * {k1p1}) / (tf.tf + {repr(k1)} * ({one_m_b} + {repr(b)}
+        * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
+    * 1e6) AS BIGINT) AS cm
+  FROM tf JOIN dft USING (t), st)
+SELECT doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro,
+  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM s GROUP BY 1
+"""
+
+
 def q_corpus_split(spark, sf):
     """Leakage-safe train/val/test split (curation.grouped_split): the
     split is a pure function of the `source` (site) key, so a site's
@@ -5892,6 +5939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": wrap(q_corpus_split),
         "dsir_weights": wrap(q_dsir_weights),
         "bigram_lm_scores": wrap(q_bigram_lm_scores),
+        "bm25_scores": wrap(q_bm25_scores),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
         "doc_repetition": wrap(q_doc_repetition),
@@ -6013,6 +6061,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _sql_corpus_split(),
         "dsir_weights": _sql_dsir_weights(),
         "bigram_lm_scores": _sql_bigram_lm_scores(),
+        "bm25_scores": _sql_bm25_scores(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),
         "doc_repetition": _sql_doc_repetition(),

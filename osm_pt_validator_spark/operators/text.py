@@ -751,3 +751,65 @@ def bigram_lm_scores(
             F.sum("c").cast("long").alias("n_bigrams"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to a query term set — the
+    retrieve-to-curate primitive (pull the documents most relevant to
+    a benchmark/domain seed, the retrieval dual of dsir_weights'
+    distribution matching). Robertson/Sparck Jones weighting:
+
+        score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    Every per-(doc, term) contribution is computed from exact integer
+    statistics (tf, df, dl, N, sum_dl) with an IDENTICAL float
+    expression shape in Spark and the DuckDB oracle, then quantized
+    to integer micro-units — the per-doc sum is exact integer
+    algebra, so the oracle replays the scores bit-for-bit.
+
+    Scale shape (100 TB): the query term set is a literal broadcast
+    filter pushed into the token explode, so the only rows that
+    survive the scan are (doc, query-term) hits; df and the corpus
+    totals are combining aggs over that reduced table; one final
+    groupBy(doc). No window, no collect.
+
+    Output: (id_col, score_micro, n_terms_hit) for docs hitting >= 1
+    query term.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("t")
+    )
+    hits = base.filter(F.col("t").isin(list(terms)))
+    tf = hits.groupBy(id_col, "t", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
+    )
+    contrib = F.round(idf * tf_part * 1e6).cast("long")
+    return (
+        tf.join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, contrib.alias("cm"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cm").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )

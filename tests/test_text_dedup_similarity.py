@@ -1102,3 +1102,54 @@ def test_bigram_lm_scores_python_replay_and_fluency_separation(spark):
         assert got[doc_id] == (want, len(ws) - 1)
     # fluency separation, per-bigram
     assert got[0][0] / got[0][1] < got[1][0] / got[1][1]
+
+
+def test_bm25_scores_python_replay(spark):
+    """text.bm25_scores against an exact python BM25 replay (same
+    float expression shape, micro-quantized contributions) on a tiny
+    corpus; a doc hitting more query terms must outscore one hit."""
+    import math
+    import re
+
+    from osm_pt_validator_spark.operators.text import bm25_scores
+
+    corpus = [
+        (0, "spark joins data with spark speed"),
+        (1, "a window over the data stream"),
+        (2, "cats and dogs"),
+        (3, "spark window spark window spark"),
+    ]
+    terms = ["spark", "window"]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.score_micro, r.n_terms_hit)
+        for r in bm25_scores(df, terms, k1=1.2, b=0.75).collect()
+    }
+    assert set(got) == {0, 1, 3}  # doc 2 hits nothing
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9']+", t.lower()) if x]
+
+    N = len(corpus)
+    dls = {i: len(toks(t)) for i, t in corpus}
+    avgdl = sum(dls.values()) / N
+    dfs = {
+        q: sum(1 for _, t in corpus if q in toks(t)) for q in terms
+    }
+    want = {}
+    for i, t in corpus:
+        cms = []
+        for q in terms:
+            tf = toks(t).count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            part = (tf * (1.2 + 1.0)) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * (dls[i] / avgdl))
+            )
+            x = idf * part * 1e6
+            cms.append(int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1))
+        if cms:
+            want[i] = (sum(cms), len(cms))
+    assert got == want
+    assert got[3][0] > got[1][0]  # 5 hits on 2 terms beats 1 hit
