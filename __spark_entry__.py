@@ -2595,6 +2595,54 @@ FROM s GROUP BY 1
 """
 
 
+def q_curation_funnel(spark, sf):
+    """FineWeb-style filtering funnel (curation.curation_funnel):
+    every doc tagged with the FIRST stage it fails — lang, quality,
+    repetition, exact-duplicate — or 'kept'; per-stage removal counts
+    are one groupBy away. One corpus scan + one fingerprint window."""
+    from osm_pt_validator_spark.operators.curation import curation_funnel
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return curation_funnel(d, lang="en", min_quality=65, max_rep=0.6)
+
+
+def _sql_curation_funnel() -> str:
+    from osm_pt_validator_spark.operators.text import LANG_STOPWORDS
+
+    c_en = _sql_stop_count(LANG_STOPWORDS["en"])
+    c_de = _sql_stop_count(LANG_STOPWORDS["de"])
+    c_fr = _sql_stop_count(LANG_STOPWORDS["fr"])
+    c_es = _sql_stop_count(LANG_STOPWORDS["es"])
+    return f"""
+WITH {_sql_quality_ctes()},
+sig AS (
+  SELECT d.doc_id,
+    CASE WHEN {c_en} = 0 AND {c_de} = 0 AND {c_fr} = 0 AND {c_es} = 0 THEN 'und'
+         WHEN {c_en} >= {c_de} AND {c_en} >= {c_fr} AND {c_en} >= {c_es} THEN 'en'
+         WHEN {c_de} >= {c_fr} AND {c_de} >= {c_es} THEN 'de'
+         WHEN {c_fr} >= {c_es} THEN 'fr'
+         ELSE 'es' END AS lg,
+    qual.quality AS q,
+    CASE WHEN len(d.toks) > 0
+         THEN round(1.0 - len(list_distinct(d.toks)) * 1.0 / len(d.toks), 6)
+         ELSE 0.0 END AS rep,
+    md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS fp
+  FROM d JOIN qual USING (doc_id)),
+k AS (
+  SELECT sig.*,
+    MIN(CASE WHEN lg = 'en' AND q >= 65 AND rep <= 0.6 THEN doc_id END)
+      OVER (PARTITION BY fp) AS keeper
+  FROM sig)
+SELECT doc_id,
+  CASE WHEN lg <> 'en' THEN 'lang'
+       WHEN q < 65 THEN 'quality'
+       WHEN rep > 0.6 THEN 'repetition'
+       WHEN doc_id <> keeper THEN 'duplicate'
+       ELSE 'kept' END AS stage
+FROM k
+"""
+
+
 BM25_TERMS = ["spark", "join", "fast", "window"]
 
 
@@ -5940,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": wrap(q_dsir_weights),
         "bigram_lm_scores": wrap(q_bigram_lm_scores),
         "bm25_scores": wrap(q_bm25_scores),
+        "curation_funnel": wrap(q_curation_funnel),
         "lang_quota": wrap(q_lang_quota),
         "pack_chunks": wrap(q_pack_chunks),
         "doc_repetition": wrap(q_doc_repetition),
@@ -6062,6 +6111,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _sql_dsir_weights(),
         "bigram_lm_scores": _sql_bigram_lm_scores(),
         "bm25_scores": _sql_bm25_scores(),
+        "curation_funnel": _sql_curation_funnel(),
         "lang_quota": _sql_lang_quota(),
         "pack_chunks": _sql_pack_chunks(),
         "doc_repetition": _sql_doc_repetition(),

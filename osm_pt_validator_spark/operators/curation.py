@@ -531,3 +531,62 @@ def dsir_weights(
             F.sum("c").cast("long").alias("n_grams"),
         )
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: int = 65,
+    max_rep: float = 0.6,
+) -> DataFrame:
+    """FineWeb-style filtering funnel (Penedo et al. 2024): every
+    document gets the FIRST curation stage it fails — language ID,
+    quality score, token-repetition, exact-duplicate (keep-lowest-id
+    among docs that survived the content stages) — or 'kept'. The
+    per-stage removal counts a pipeline report needs are then one
+    groupBy('stage') away, and the decision trace stays auditable
+    per document.
+
+    Composes four already-oracle-verified signals (lang_id,
+    quality_score, dup_token_fraction, fingerprint) in ONE corpus
+    scan; the only shuffle is the fingerprint window that picks each
+    duplicate group's surviving representative — the same single-
+    exchange shape as the standalone exact dedup.
+
+    Output: (id_col, stage) with stage in
+    ('lang', 'quality', 'repetition', 'duplicate', 'kept').
+    """
+    from osm_pt_validator_spark.operators.text import (
+        dup_token_fraction,
+        fingerprint,
+        lang_id,
+    )
+
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        lang_id(t).alias("lg"),
+        quality_score(t).alias("q"),
+        dup_token_fraction(t).alias("rep"),
+        fingerprint(t).alias("fp"),
+    )
+    passes = (
+        (F.col("lg") == lang)
+        & (F.col("q") >= min_quality)
+        & (F.col("rep") <= max_rep)
+    )
+    keeper = F.min(F.when(passes, F.col(id_col))).over(
+        Window.partitionBy("fp")
+    )
+    stage = (
+        F.when(F.col("lg") != lang, F.lit("lang"))
+        .when(F.col("q") < min_quality, F.lit("quality"))
+        .when(F.col("rep") > max_rep, F.lit("repetition"))
+        .when(F.col(id_col) != F.col("keeper"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return base.withColumn("keeper", keeper).select(
+        id_col, stage.alias("stage")
+    )

@@ -381,3 +381,30 @@ def test_dsir_weights_python_replay_and_domain_separation(spark):
     assert got == want
     # domain separation: every medical doc outscores every web doc
     assert min(got[i][0] for i in range(3)) > max(got[i][0] for i in (3, 4))
+
+
+def test_curation_funnel_all_stages(spark):
+    """curation.curation_funnel: constructed docs hit every funnel
+    stage — lang, quality, repetition, duplicate (whitespace-variant
+    of the kept doc, higher id), kept — and the first-failing-stage
+    ordering holds (the german doc fails 'lang' even though its
+    quality would also fail)."""
+    from osm_pt_validator_spark.operators.curation import curation_funnel
+
+    good = "the quick brown fox jumped over the lazy sleeping dog today"
+    rows = [
+        (0, good),                                     # kept
+        (1, "  " + good.replace(" over ", "  over ") + " "),  # duplicate of 0
+        (2, "der und die das ist nicht ein"),          # lang (german)
+        (3, "the is 111 222 333 444 555 666 777 888"),  # quality (digits)
+        (4, "the " * 40 + "cat"),                      # repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.stage for r in curation_funnel(df).collect()}
+    assert got == {
+        0: "kept",
+        1: "duplicate",
+        2: "lang",
+        3: "quality",
+        4: "repetition",
+    }
