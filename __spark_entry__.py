@@ -2382,6 +2382,23 @@ def _sql_stop_count(lang_words: tuple[str, ...]) -> str:
     return f"len(list_filter(toks, x -> x IN ({inlist})))"
 
 
+def _sql_lang_case(c_en: str, c_de: str, c_fr: str, c_es: str) -> str:
+    """The lang_id argmax replay (und/en/de/fr/es priority ties) —
+    single source of truth shared by every oracle that needs the
+    language guess (doc_stats, curation_funnel). Takes the four
+    stopword-count EXPRESSIONS (column names or inline list_filter
+    counts)."""
+    return (
+        f"CASE WHEN {c_en} = 0 AND {c_de} = 0 AND {c_fr} = 0"
+        f" AND {c_es} = 0 THEN 'und'\n"
+        f"       WHEN {c_en} >= {c_de} AND {c_en} >= {c_fr}"
+        f" AND {c_en} >= {c_es} THEN 'en'\n"
+        f"       WHEN {c_de} >= {c_fr} AND {c_de} >= {c_es} THEN 'de'\n"
+        f"       WHEN {c_fr} >= {c_es} THEN 'fr'\n"
+        f"       ELSE 'es' END"
+    )
+
+
 def _sql_doc_stats() -> str:
     from osm_pt_validator_spark.operators.text import LANG_STOPWORDS
 
@@ -2397,11 +2414,7 @@ c AS (SELECT doc_id, text, toks,
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   CAST(list_sum(list_transform(toks, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
-  CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
-       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
-       WHEN c_fr >= c_es THEN 'fr'
-       ELSE 'es' END AS lang_guess,
+  {_sql_lang_case("c_en", "c_de", "c_fr", "c_es")} AS lang_guess,
   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
 FROM c
 """
@@ -2617,11 +2630,7 @@ def _sql_curation_funnel() -> str:
 WITH {_sql_quality_ctes()},
 sig AS (
   SELECT d.doc_id,
-    CASE WHEN {c_en} = 0 AND {c_de} = 0 AND {c_fr} = 0 AND {c_es} = 0 THEN 'und'
-         WHEN {c_en} >= {c_de} AND {c_en} >= {c_fr} AND {c_en} >= {c_es} THEN 'en'
-         WHEN {c_de} >= {c_fr} AND {c_de} >= {c_es} THEN 'de'
-         WHEN {c_fr} >= {c_es} THEN 'fr'
-         ELSE 'es' END AS lg,
+    {_sql_lang_case(c_en, c_de, c_fr, c_es)} AS lg,
     qual.quality AS q,
     CASE WHEN len(d.toks) > 0
          THEN round(1.0 - len(list_distinct(d.toks)) * 1.0 / len(d.toks), 6)
@@ -3142,20 +3151,26 @@ def q_streaming_sessions_replay(spark, sf):
 
 
 def _sql_streaming_sessions_replay() -> str:
+    # breaks are computed over DISTINCT (user_id, us): identical
+    # timestamps always share a session, and pre-grouping them makes
+    # the cumulative break-sum's ORDER BY us tie-free (row-level lag
+    # would order tied rows arbitrarily and could split a boundary
+    # pair nondeterministically)
     return """
-WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
 m AS (
-  SELECT user_id, us,
+  SELECT user_id, us, cnt,
     CASE WHEN lag(us) OVER w IS NULL
            OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
 s AS (
-  SELECT user_id, us,
+  SELECT user_id, us, cnt,
     SUM(brk) OVER (PARTITION BY user_id ORDER BY us
                    ROWS UNBOUNDED PRECEDING) AS sid
   FROM m)
 SELECT CAST(user_id AS BIGINT) AS user_id,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(cnt) AS BIGINT) AS n_events,
   CAST(MIN(us) // 1000000 AS BIGINT) AS start_epoch,
   CAST(MAX(us) // 1000000 AS BIGINT) AS end_epoch
 FROM s GROUP BY user_id, sid

@@ -492,3 +492,51 @@ def test_session_window_gap_boundary_is_inclusive(spark):
     # the +1us event truncates to second e1 under unix_timestamp
     assert per_user[1] == [(1, e0, e0), (1, e1, e1)]
     assert per_user[2] == [(2, e0, e1)]
+
+
+def test_sessions_replay_oracle_is_tie_proof(spark):
+    """Regression for the order-fragile oracle found in review: with
+    DUPLICATE (user_id, ts) events at a session boundary, the
+    streaming_sessions_replay DuckDB SQL must still agree with Spark's
+    session_window — the oracle now pre-groups distinct timestamps so
+    its cumulative break-sum has no tie-ordering freedom."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from osm_pt_validator_spark.streaming.sessions import (
+        session_stats_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: one event, then TWO identical events exactly one
+        # gap past it (the tie sits on the session break)
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30, microseconds=1)),
+        (1, t0 + dt.timedelta(minutes=30, microseconds=1)),
+        # user 2: duplicate timestamps inside one session
+        (2, t0),
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.n_events, r.start_epoch, r.end_epoch)
+        for r in session_stats_frame(df, gap="30 minutes").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    sql = entry.oracle_sql()["streaming_sessions_replay"]
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+    # and the semantics themselves: the tied pair forms ONE session
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == sorted(
+        [
+            (1, 1, e0, e0),
+            (1, 2, e0 + 1800, e0 + 1800),
+            (2, 3, e0, e0 + 300),
+        ]
+    )
