@@ -2593,7 +2593,8 @@ WITH tgt AS (SELECT {toks} AS toks FROM documents
 tb AS (SELECT t.g AS g, COUNT(*) AS c12
        FROM tgt, UNNEST({bigrams}) AS t(g) GROUP BY 1),
 tp AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c12) AS c1 FROM tb GROUP BY 1),
-vv AS (SELECT COUNT(DISTINCT t.w) AS v FROM tgt, UNNEST(toks) AS t(w)),
+vv AS (SELECT GREATEST(COUNT(DISTINCT t.w), 1) AS v
+       FROM tgt, UNNEST(toks) AS t(w)),
 d AS (SELECT doc_id, {toks} AS toks FROM documents),
 db AS (SELECT doc_id, t.g AS g, COUNT(*) AS c
        FROM d, UNNEST({bigrams}) AS t(g) GROUP BY 1, 2),

@@ -726,9 +726,12 @@ def bigram_lm_scores(
     tgt_p = tgt_b.groupBy(
         F.substring_index("g", " ", 1).alias("w1")
     ).agg(F.sum("c12").alias("c1"))
+    # V floored at 1: an empty/tokenless target otherwise zeroes the
+    # smoothing denominator (ANSI divide-by-zero); with the floor every
+    # bigram scores p = 1 -> NLL 0, the sane no-evidence degenerate
     vocab = target.select(
         F.explode(tokens(F.col(text_col))).alias("w")
-    ).agg(F.countDistinct("w").alias("v"))
+    ).agg(F.greatest(F.countDistinct("w"), F.lit(1)).alias("v"))
     nll_micro = (
         F.round(
             -F.log(

@@ -408,3 +408,28 @@ def test_curation_funnel_all_stages(spark):
         3: "quality",
         4: "repetition",
     }
+
+
+def test_dsir_and_bigram_lm_empty_target(spark):
+    """Degenerate-input contracts: with an EMPTY target frame both
+    scorers must still return a row per gram-bearing doc (uniform
+    smoothed model), not crash on NULL totals."""
+    from osm_pt_validator_spark.operators.curation import dsir_weights
+    from osm_pt_validator_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "")],
+        "doc_id long, text string",
+    )
+    empty = docs.filter("doc_id < 0")
+    w = {r.doc_id: r.n_grams for r in dsir_weights(docs, empty).collect()}
+    assert w == {0: 5}  # 3 unigrams + 2 bigrams; empty-text doc absent
+    s = {r.doc_id: r.n_bigrams for r in bigram_lm_scores(docs, empty).collect()}
+    assert s == {0: 2}
+
+
+def test_curation_funnel_empty_corpus(spark):
+    from osm_pt_validator_spark.operators.curation import curation_funnel
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert curation_funnel(empty).count() == 0
