@@ -1153,3 +1153,25 @@ def test_bm25_scores_python_replay(spark):
             want[i] = (sum(cms), len(cms))
     assert got == want
     assert got[3][0] > got[1][0]  # 5 hits on 2 terms beats 1 hit
+
+
+def test_semantic_dedup_and_bm25_degenerate_inputs(spark):
+    """Degenerate-input contracts: empty embeddings -> empty output;
+    fewer vectors than k -> every vector its own cluster, all kept;
+    bm25 with no-hit or empty term sets -> empty output (never a
+    divide-by-zero from the empty stats row)."""
+    from osm_pt_validator_spark.operators.similarity import semantic_dedup
+    from osm_pt_validator_spark.operators.text import bm25_scores
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(e, k=2, iters=1).count() == 0
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert sorted(
+        (r.vec_id, r.kept) for r in semantic_dedup(two, k=4, iters=1).collect()
+    ) == [(0, 1), (1, 1)]
+    d = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    assert bm25_scores(d, ["zzz"]).count() == 0
+    assert bm25_scores(d, []).count() == 0
