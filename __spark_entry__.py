@@ -764,15 +764,22 @@ sc AS (
   WHERE (h.cell >> 32) + o.di BETWEEN 0 AND 255
     AND (h.cell & 4294967295) + o.dj BETWEEN 0 AND 255),
 a AS (SELECT cell, COUNT(*) AS n_present, CAST(SUM(n) AS BIGINT) AS sum_val
-      FROM sc GROUP BY 1)
+      FROM sc GROUP BY 1),
+kk AS (SELECT cell, n_present, sum_val, sum_val * 100 AS num,
+  CAST((3 - CASE WHEN (cell >> 32) = 0 THEN 1 ELSE 0 END
+          - CASE WHEN (cell >> 32) = 255 THEN 1 ELSE 0 END) AS BIGINT)
+  * (3 - CASE WHEN (cell & 4294967295) = 0 THEN 1 ELSE 0 END
+       - CASE WHEN (cell & 4294967295) = 255 THEN 1 ELSE 0 END) AS k
+  FROM a)
 SELECT cell, n_present, sum_val,
-  (sum_val * 100) // (
-    CAST((3 - CASE WHEN (cell >> 32) = 0 THEN 1 ELSE 0 END
-            - CASE WHEN (cell >> 32) = 255 THEN 1 ELSE 0 END) AS BIGINT)
-    * (3 - CASE WHEN (cell & 4294967295) = 0 THEN 1 ELSE 0 END
-         - CASE WHEN (cell & 4294967295) = 255 THEN 1 ELSE 0 END)) AS mean_scaled
-FROM a
+  (num - ((num % k) + k) % k) // k AS mean_scaled
+FROM kk
 """
+# mean_scaled replays focal_mean's FLOOR division exactly for any sign:
+# DuckDB's bare `//` truncates toward zero (-7 // 2 = -3), so the
+# non-negative-mod adjustment makes the numerator exactly divisible
+# first — identical to the Spark (__num - pmod(__num, __k)) div __k
+# spelling (tiles.py).
 
 
 ZONE_POLYS = [
@@ -2413,7 +2420,7 @@ c AS (SELECT doc_id, text, toks,
   {c_en} AS c_en, {c_de} AS c_de, {c_fr} AS c_fr, {c_es} AS c_es FROM d)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(list_sum(list_transform(toks, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
+  CAST(COALESCE(list_sum(list_transform(toks, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens,
   {_sql_lang_case("c_en", "c_de", "c_fr", "c_es")} AS lang_guess,
   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
 FROM c
@@ -3448,7 +3455,7 @@ def q_near_dup_pairs(spark, sf, min_ppm: int = 500000):
     )
 
 
-def _sql_near_dup() -> str:
+def _sql_near_dup(min_ppm: int = 500000) -> str:
     toks = _SQL_TOKENS.format(t="text")
     # relational intersection (explode -> equi-join -> count) instead of
     # per-pair list_intersect over ~500-element lists: identical values
@@ -3478,7 +3485,7 @@ pairs AS (
   JOIN sz sa ON sa.doc_id = i.doc_a
   JOIN sz sb ON sb.doc_id = i.doc_b
   WHERE sa.n + sb.n - i.i > 0)
-SELECT doc_a, doc_b, jaccard_ppm FROM pairs WHERE jaccard_ppm >= 500000
+SELECT doc_a, doc_b, jaccard_ppm FROM pairs WHERE jaccard_ppm >= {min_ppm}
 """
 
 
@@ -3502,7 +3509,7 @@ def _sql_split_leakage() -> str:
 
     bucket = f"({md5_i64_sql('CAST(source AS VARCHAR)', 'split')} % 1000000)"
     return f"""
-WITH nd AS (SELECT doc_a, doc_b FROM ({_sql_near_dup().replace(">= 500000", ">= 20000")})),
+WITH nd AS (SELECT doc_a, doc_b FROM ({_sql_near_dup(min_ppm=20000)})),
 sp AS (
   SELECT doc_id,
     CASE WHEN {bucket} < 900000 THEN 'train'
@@ -3836,19 +3843,27 @@ def q_cosine_bucketed(spark, sf):
     )
 
 
+def _sql_hyperplane_terms(dim: int, num_planes: int) -> str:
+    """The hyperplane-LSH bucket expression replay (sign-bit fold over
+    the deterministic sin() pseudo-planes) — single source of truth for
+    every oracle that must reproduce hyperplane_bucket's buckets
+    (cosine_bucketed, diverse_sample, lsh_ann)."""
+    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
+
+    return " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
+        for m, plane in enumerate(hyperplane_coeffs(dim, num_planes))
+    )
+
+
 def _sql_cosine_bucketed() -> str:
     """Replays hyperplane_bucket exactly (same driver-computed sin()
     literals, same left-to-right dot fold), then the bucket equi-join +
     exact cosine verify — candidate semantics identical to the Spark
     plan, so survivors match bit-for-bit."""
-    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
-
-    terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(c) for c in plane)
-        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
-        for m, plane in enumerate(hyperplane_coeffs(64, 6))
-    )
+    terms = _sql_hyperplane_terms(64, 6)
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {terms} AS bucket FROM e),
@@ -3876,14 +3891,7 @@ def q_diverse_sample(spark, sf):
 
 
 def _sql_diverse_sample() -> str:
-    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
-
-    terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(c) for c in plane)
-        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
-        for m, plane in enumerate(hyperplane_coeffs(64, 6))
-    )
+    terms = _sql_hyperplane_terms(64, 6)
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 b AS (SELECT vec_id, {terms} AS bucket FROM e),
@@ -4247,14 +4255,7 @@ def _sql_lsh_ann() -> str:
     sin() literals are rendered here, and both engines fold the dot
     product left-to-right, so buckets (and therefore candidates and
     ranks) agree bit-for-bit."""
-    from osm_pt_validator_spark.operators.similarity import hyperplane_coeffs
-
-    terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(c) for c in plane)
-        + f"]) > 0 THEN {1 << m} ELSE 0 END)"
-        for m, plane in enumerate(hyperplane_coeffs(64, 6))
-    )
+    terms = _sql_hyperplane_terms(64, 6)
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {terms} AS bucket FROM e),
@@ -4312,15 +4313,12 @@ FROM media
 """
 
 
-def q_media_decode(spark, sf):
-    """Multimodal decode over REAL container payloads: PNG/JPEG/WAV
-    headers synthesized per doc_id (fixtures.media_payload) are parsed
-    for real by stdlib struct (multimodal._parse_headers); one residue
-    class stays an unknown format to exercise the documented md5 fake
-    tier. The oracle replays the construction arithmetic, so the
-    parsers are value-checked byte-for-byte."""
+def _synth_media(spark, sf, with_meta: bool = False):
+    """Deterministic media-fixture frame shared by the media_* keys:
+    documents -> (media_id, kind, payload) via fixtures.media_payload
+    inside one Arrow mapInPandas (single source of the construction
+    rule both SQL_MEDIA_DECODE and SQL_MEDIA_RESIZE replay)."""
     from osm_pt_validator_spark.fixtures import media_payload
-    from osm_pt_validator_spark.operators.multimodal import decode_media
 
     def synth(batches):
         import pandas as _pd
@@ -4340,8 +4338,24 @@ def q_media_decode(spark, sf):
         .select("doc_id", "text")
         .repartition(8, "doc_id")
         .mapInPandas(synth, "media_id long, kind string, payload binary")
-        .withColumn("meta", F.create_map().cast("map<string,string>"))
     )
+    if with_meta:
+        media = media.withColumn(
+            "meta", F.create_map().cast("map<string,string>")
+        )
+    return media
+
+
+def q_media_decode(spark, sf):
+    """Multimodal decode over REAL container payloads: PNG/JPEG/WAV
+    headers synthesized per doc_id (fixtures.media_payload) are parsed
+    for real by stdlib struct (multimodal._parse_headers); one residue
+    class stays an unknown format to exercise the documented md5 fake
+    tier. The oracle replays the construction arithmetic, so the
+    parsers are value-checked byte-for-byte."""
+    from osm_pt_validator_spark.operators.multimodal import decode_media
+
+    media = _synth_media(spark, sf, with_meta=True)
     return decode_media(media).select(
         "media_id", "kind", "n_bytes", "width", "height", "duration_ms"
     )
@@ -4470,28 +4484,9 @@ def q_media_resize(spark, sf):
     payload-construction dims + the same fit formula. (The pixel
     resample itself is behind the documented require_real contract —
     resized_key is the deterministic cache key, checked in pytest.)"""
-    from osm_pt_validator_spark.fixtures import media_payload
     from osm_pt_validator_spark.operators.multimodal import resize_plan
 
-    def synth(batches):
-        import pandas as _pd
-
-        for pdf in batches:
-            kinds, payloads = [], []
-            for i, txt in zip(pdf["doc_id"], pdf["text"]):
-                k, p = media_payload(int(i), txt)
-                kinds.append(k)
-                payloads.append(p)
-            yield _pd.DataFrame(
-                {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
-            )
-
-    media = (
-        _t(spark, sf, "documents")
-        .select("doc_id", "text")
-        .repartition(8, "doc_id")
-        .mapInPandas(synth, "media_id long, kind string, payload binary")
-    )
+    media = _synth_media(spark, sf)
     return resize_plan(media, target_w=224, target_h=224).select(
         "media_id", "src_w", "src_h", "dst_w", "dst_h", "scale_ppm"
     )
@@ -4978,20 +4973,9 @@ def q_winnow_fps(spark, sf):
 
 
 def _sql_winnow_fps() -> str:
-    from osm_pt_validator_spark.functions.hashing import md5_i64_sql
-
-    toks = _SQL_TOKENS.format(t="text")
-    h = md5_i64_sql("array_to_string(toks[i:i+4], ' ')")
     return f"""
-WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
-g AS (
-  SELECT doc_id, i, {h} % 2147483647 AS h
-  FROM d, UNNEST(CASE WHEN len(toks) >= 5
-                      THEN range(1, len(toks) - 3) ELSE [] END) AS t(i)),
-hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id)
-SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp
-FROM hl, UNNEST(CASE WHEN len(hs) >= 4
-                     THEN range(1, len(hs) - 2) ELSE [] END) AS t(j)
+WITH {_sql_winnow_ctes()}
+SELECT doc_id, fp FROM f
 """
 
 
@@ -5625,13 +5609,16 @@ def q_dup_spans(spark, sf):
     return duplicated_span_pairs(d, k=5, w=4, min_shared=2, max_postings=64)
 
 
-def _sql_dup_spans() -> str:
+def _sql_winnow_ctes() -> str:
+    """The winnowing fingerprint CTE chain (tokenize -> 5-token window
+    hashes -> ordered hash list -> min-of-4 fingerprints `f`) —
+    single source of truth shared by the dup_spans and winnow_fps
+    oracles, replaying winnow_fingerprints(k=5, w=4)."""
     from osm_pt_validator_spark.functions.hashing import md5_i64_sql
 
     toks = _SQL_TOKENS.format(t="text")
     h = md5_i64_sql("array_to_string(toks[i:i+4], ' ')")
-    return f"""
-WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    return f"""d AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
   SELECT doc_id, i, {h} % 2147483647 AS h
   FROM d, UNNEST(CASE WHEN len(toks) >= 5
@@ -5639,7 +5626,12 @@ g AS (
 hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id),
 f AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp
       FROM hl, UNNEST(CASE WHEN len(hs) >= 4
-                           THEN range(1, len(hs) - 2) ELSE [] END) AS t(j)),
+                           THEN range(1, len(hs) - 2) ELSE [] END) AS t(j))"""
+
+
+def _sql_dup_spans() -> str:
+    return f"""
+WITH {_sql_winnow_ctes()},
 elig AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -175,10 +175,12 @@ def focal_mean(
     ki = F.lit(3) - (i == 0).cast("int") - (i == n - 1).cast("int")
     kj = F.lit(3) - (j == 0).cast("int") - (j == n - 1).cast("int")
     ksize = (ki * kj).cast("long")
-    # FLOOR division in pure int64 (matches DuckDB's //, including for
-    # negative values): pmod is non-negative, the adjusted numerator is
-    # exactly divisible, and `div` never leaves the integer domain —
-    # no 2^53 float-precision ceiling
+    # FLOOR division in pure int64: pmod is non-negative, the adjusted
+    # numerator is exactly divisible, and `div` never leaves the
+    # integer domain — no 2^53 float-precision ceiling. NOTE: DuckDB's
+    # bare `//` TRUNCATES toward zero (-7 // 2 = -3, not -4), so the
+    # oracle replays the same non-negative-mod adjustment rather than
+    # dividing directly (SQL_FOCAL_HEATMAP)
     with_k = agg.withColumn("__num", F.col("sum_val") * mean_scale).withColumn(
         "__k", ksize
     )

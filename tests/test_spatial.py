@@ -1434,3 +1434,50 @@ def test_areal_interpolation_vs_python_oracle(spark):
     assert got[20] > 0
     # conservation bound: total transferred never exceeds total value
     assert sum(got.values()) <= sum(vals.values())
+
+
+def test_focal_mean_negative_values_floor_division(spark):
+    """Regression for the review finding: focal_mean's mean is FLOOR
+    division, and DuckDB's bare `//` truncates toward zero (-7 // 2 =
+    -3, floor = -4) — the oracle's non-negative-mod spelling must
+    agree with Spark on rasters with NEGATIVE cell values (e.g. a
+    diff/anomaly raster)."""
+    import math
+
+    import duckdb
+
+    from osm_pt_validator_spark.spatial.tiles import focal_mean
+
+    # two adjacent interior cells, one negative: kernel sums go negative
+    cells = {(10, 10): -9, (10, 11): 2}
+    rows = [(((i << 32) | j), v) for (i, j), v in cells.items()]
+    df = spark.createDataFrame(rows, "cell long, n long")
+    got = {
+        r.cell: (r.n_present, r.sum_val, r.mean_scaled)
+        for r in focal_mean(df, res=8, value_col="n").collect()
+    }
+    # python floor replay over the scattered 3x3 neighborhoods
+    want = {}
+    for (i, j), v in cells.items():
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ti, tj = i + di, j + dj
+                if not (0 <= ti <= 255 and 0 <= tj <= 255):
+                    continue
+                key = (ti << 32) | tj
+                np_, sv = want.get(key, (0, 0))
+                want[key] = (np_ + 1, sv + v)
+    for key, (np_, sv) in want.items():
+        ti, tj = key >> 32, key & 0xFFFFFFFF
+        ki = 3 - (ti == 0) - (ti == 255)
+        kj = 3 - (tj == 0) - (tj == 255)
+        assert got[key] == (np_, sv, math.floor(sv * 100 / (ki * kj)))
+    assert len(got) == len(want)
+    # at least one kernel sum must actually be negative for the pin
+    assert any(sv < 0 for _, sv in want.values())
+    # and the oracle's floor-div spelling agrees with python for both signs
+    for num, k in ((-700, 9), (-700, 6), (200, 9), (-7, 2)):
+        (v,) = duckdb.sql(
+            f"SELECT ({num} - (({num} % {k}) + {k}) % {k}) // {k}"
+        ).fetchone()
+        assert v == math.floor(num / k), (num, k, v)

@@ -1175,3 +1175,42 @@ def test_semantic_dedup_and_bm25_degenerate_inputs(spark):
     d = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
     assert bm25_scores(d, ["zzz"]).count() == 0
     assert bm25_scores(d, []).count() == 0
+
+
+def test_doc_stats_oracle_handles_token_empty_docs(spark):
+    """Regression for the review finding: DuckDB's list_sum([]) is
+    NULL, so a token-empty document (punctuation-only text) used to
+    make the doc_stats oracle emit n_bpe_tokens = NULL while Spark's
+    fold emits 0. Both engines must now agree on constructed
+    token-empty rows."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from osm_pt_validator_spark.operators.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        token_count,
+    )
+
+    rows = [(0, "!!! ???"), (1, ""), (2, "the quick fox")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            token_count(t).cast("long").alias("n_tokens"),
+            bpe_ish_token_count(t).alias("n_bpe_tokens"),
+            lang_id(t).alias("lang_guess"),
+            fingerprint(t).alias("fp"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(entry.oracle_sql()["doc_stats"]).fetchall()
+    )
+    assert got == want
+    assert got[0][2] == 0 and got[1][2] == 0  # n_bpe_tokens 0, not NULL
